@@ -1,0 +1,166 @@
+"""PyTorch checkpoint -> Flax pytree converter.
+
+Translates a reference RecNext state dict (any family, /root/reference/model/recnext.py,
+model/recattn.py, lsnet/model/recattn.py) into the {params, batch_stats} pytrees of
+recnext_tpu.models.recnext.RecNext. The mapping is a deterministic token rewrite of the
+torch dotted path plus leaf transforms:
+
+* conv weight  OIHW -> HWIO transpose (group-major channel order is identical between
+  torch grouped conv and lax feature_group_count, so no channel permutation is needed)
+* linear weight (out, in) -> (in, out)
+* BN weight/bias/running_mean/running_var -> scale/bias (params) + mean/var (batch_stats)
+
+Accepts checkpoints wrapped as {'model': ...} / {'state_dict': ...} and strips
+'module.'/'backbone.' prefixes, mirroring the tolerant loaders in
+/root/reference/detection/recnext.py:234-263.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _unwrap(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    for key in ("model", "state_dict", "model_ema"):
+        if key in state and isinstance(state[key], Mapping):
+            state = state[key]
+            break
+    out = {}
+    for k, v in state.items():
+        for pre in ("module.", "backbone."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        out[k] = np.asarray(getattr(v, "numpy", lambda: v)())
+    return out
+
+
+_STEM = {"0": "conv1", "2": "conv2", "4": "conv3"}
+
+
+def _map_key(key: str) -> Tuple[Tuple[str, ...], str, str] | None:
+    """torch dotted key -> (flax path tuple, collection, transform).
+
+    transform in {"conv", "linear", "id"}; collection in {"params", "batch_stats"}.
+    Returns None for keys to skip (num_batches_tracked).
+    """
+    if key.endswith("num_batches_tracked"):
+        return None
+    toks = key.split(".")
+
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "stem" and i + 1 < len(toks) and toks[i + 1] == "stem":
+            out.append("stem")
+            out.append(_STEM[toks[i + 2]])
+            i += 3
+            continue
+        if t == "stages":
+            idx = toks[i + 1]
+            if toks[i + 2] == "downsample":
+                out.append(f"downsample_{idx}")
+                i += 3
+                continue
+            assert toks[i + 2] == "blocks"
+            out.append(f"stage{idx}_block{toks[i + 3]}")
+            i += 4
+            continue
+        if t == "channel_mixer":
+            out.append("channel_mixer")
+            out.append({"0": "fc1", "2": "fc2"}[toks[i + 1]])
+            i += 2
+            continue
+        if t == "down" and i + 1 < len(toks) and toks[i + 1] in ("0", "1"):
+            # RecAttn2d down Sequential: 0 = ConvNorm, 1 = LinearAttention
+            out.append("down" if toks[i + 1] == "0" else "attn")
+            i += 2
+            continue
+        if t == "token_mixer" and i + 1 < len(toks) and toks[i + 1] == "attn":
+            # L-series PartialChannelOperation(attn): params live at block scope
+            out.append("attn")
+            i += 2
+            continue
+        if t == "convs":
+            # M-series RecConv2d convs.{k}.weight -> conv{k}_kernel
+            k = toks[i + 1]
+            leaf = toks[i + 2]
+            out.append(f"conv{k}_kernel" if leaf == "weight" else f"conv{k}_bias")
+            i += 3
+            continue
+        out.append(t)
+        i += 1
+
+    # Leaf handling
+    leaf = out[-1]
+    parent = out[-2] if len(out) >= 2 else ""
+    if leaf.startswith("conv") and leaf.endswith(("_kernel", "_bias")):
+        tr = "conv" if leaf.endswith("_kernel") else "id"
+        return tuple(out), "params", tr
+    if parent == "down" and leaf in ("weight", "bias") and "token_mixer" in out:
+        # M-series RecConv2d shared down conv (token_mixer.down.weight)
+        out[-2:] = ["down_kernel" if leaf == "weight" else "down_bias"]
+        return tuple(out), "params", "conv" if leaf == "weight" else "id"
+    if parent == "norm":
+        if leaf == "weight":
+            return tuple(out[:-1] + ["scale"]), "params", "id"
+        if leaf == "bias":
+            return tuple(out), "params", "id"
+        if leaf == "running_mean":
+            return tuple(out[:-1] + ["mean"]), "batch_stats", "id"
+        if leaf == "running_var":
+            return tuple(out[:-1] + ["var"]), "batch_stats", "id"
+    if parent == "conv":
+        if leaf == "weight":
+            return tuple(out[:-1] + ["kernel"]), "params", "conv"
+        return tuple(out), "params", "id"
+    if parent == "linear":
+        if leaf == "weight":
+            return tuple(out[:-1] + ["kernel"]), "params", "linear"
+        return tuple(out), "params", "id"
+    if parent == "token_mixer" and leaf in ("weight", "bias"):
+        # M/A Downsample raw conv token mixer
+        return tuple(out[:-1] + ["kernel" if leaf == "weight" else "bias"]), "params", (
+            "conv" if leaf == "weight" else "id"
+        )
+    raise KeyError(f"unmapped torch key: {'.'.join(out)} (from {parent}.{leaf})")
+
+
+def _transform(v: np.ndarray, tr: str) -> np.ndarray:
+    if tr == "conv":
+        return np.transpose(v, (2, 3, 1, 0))
+    if tr == "linear":
+        return np.transpose(v, (1, 0))
+    return v
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def torch_to_flax(state: Mapping[str, Any]) -> Dict[str, Dict]:
+    """Convert a torch state dict (tensors or ndarrays) to {params, batch_stats}."""
+    flat = _unwrap(state)
+    params: Dict = {}
+    stats: Dict = {}
+    for k, v in flat.items():
+        mapped = _map_key(k)
+        if mapped is None:
+            continue
+        path, col, tr = mapped
+        _set(params if col == "params" else stats, path, _transform(v, tr).astype(np.float32))
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Dict]:
+    """Load a .pth checkpoint file and convert (CPU-only torch load)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    return torch_to_flax(state)

@@ -1,0 +1,135 @@
+"""Golden end-to-end parity: Flax RecNext vs the reference PyTorch models.
+
+For each family a small-config torch model is built from the actual reference source
+(imported read-only from /root/reference), its random state dict is converted with
+recnext_tpu.convert.torch_to_flax, and eval-mode outputs are compared. Also checks the
+BN-fusion transform (fused == unfused, mirroring fuse_eval.py's parity role) and the
+training-mode distillation tuple output.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from recnext_tpu.convert import torch_to_flax
+from recnext_tpu.fusion import fuse_params
+from recnext_tpu.models.recnext import RecNext, RecNextConfig
+from tests.torch_ref import load_ref_module, to_nchw_tensor, to_nhwc
+
+# Small configs (2 stages deep enough to hit every code path) to keep CPU time sane.
+SMALL = {
+    "m": RecNextConfig(name="small_m", family="m", embed_dim=(16, 32, 64, 128),
+                       depth=(1, 1, 2, 1), mlp_ratio=(2, 2, 2, 2), num_classes=10),
+    "a": RecNextConfig(name="small_a", family="a", embed_dim=(16, 32, 64, 128),
+                       depth=(1, 1, 2, 1), mlp_ratio=(1.875,) * 4, num_classes=10),
+    "l": RecNextConfig(name="small_l", family="l", embed_dim=(16, 32, 64, 128),
+                       depth=(1, 1, 2, 2), mlp_ratio=(2, 2, 2, 1.5),
+                       num_heads=(1, 1, 1, 2), split_rates=(4, 4, 4, 4), num_classes=10),
+}
+
+
+def _torch_model(family, cfg):
+    if family == "m":
+        mod = load_ref_module("model/recnext.py", "ref_recnext_m")
+        return mod.RecNext(embed_dim=cfg.embed_dim, depth=cfg.depth,
+                           mlp_ratio=int(cfg.mlp_ratio[0]), num_classes=cfg.num_classes,
+                           distillation=cfg.distillation)
+    if family == "a":
+        mod = load_ref_module("model/recattn.py", "ref_recnext_a")
+        return mod.RecNext(embed_dim=cfg.embed_dim, depth=cfg.depth,
+                           mlp_ratio=cfg.mlp_ratio[0], num_classes=cfg.num_classes,
+                           distillation=cfg.distillation)
+    mod = load_ref_module("lsnet/model/recattn.py", "ref_recnext_l")
+    return mod.RecNext(embed_dim=cfg.embed_dim, depth=cfg.depth,
+                       mlp_ratios=cfg.mlp_ratio, num_heads=cfg.num_heads,
+                       split_rates=cfg.split_rates, num_classes=cfg.num_classes,
+                       distillation=cfg.distillation)
+
+
+def _randomize_bn_stats(tm, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for m in tm.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) * 0.5 + 0.75)
+
+
+@pytest.mark.parametrize("family", ["m", "a", "l"])
+def test_model_parity_eval(family):
+    cfg = SMALL[family]
+    torch.manual_seed(0)
+    tm = _torch_model(family, cfg).eval()
+    _randomize_bn_stats(tm)
+
+    variables = torch_to_flax(tm.state_dict())
+    fm = RecNext(cfg=cfg)
+
+    x_t = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        y_t = tm(x_t).numpy()
+    y_j = np.asarray(fm.apply(variables, jnp.asarray(to_nhwc(x_t))))
+    np.testing.assert_allclose(y_j, y_t, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("family", ["m", "a", "l"])
+def test_fused_parity(family):
+    cfg = SMALL[family]
+    torch.manual_seed(1)
+    tm = _torch_model(family, cfg).eval()
+    _randomize_bn_stats(tm, seed=1)
+    variables = torch_to_flax(tm.state_dict())
+
+    fm = RecNext(cfg=cfg)
+    fm_fused = RecNext(cfg=cfg, fused=True)
+    fused_vars = fuse_params(variables)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32))
+    y = np.asarray(fm.apply(variables, x))
+    y_f = np.asarray(fm_fused.apply(fused_vars, x))
+    np.testing.assert_allclose(y_f, y, atol=2e-4, rtol=1e-4)
+
+    # and against the torch model fused in-place (utils.replace_batchnorm equivalent)
+    tm.fuse()
+    with torch.no_grad():
+        y_tf = tm(to_nchw_tensor(np.asarray(x))).numpy()
+    np.testing.assert_allclose(y_f, y_tf, atol=2e-4, rtol=1e-4)
+
+
+def test_feature_pyramid_shapes():
+    cfg = SMALL["m"]
+    fm = RecNext(cfg=cfg)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = fm.init(jax.random.PRNGKey(0), x)
+    feats = fm.apply(variables, x, method=fm.features)
+    assert [f.shape for f in feats] == [
+        (1, 16, 16, 16), (1, 8, 8, 32), (1, 4, 4, 64), (1, 2, 2, 128)]
+
+
+def test_distillation_tuple_and_bn_stats_update():
+    cfg = SMALL["m"]
+    cfg = type(cfg)(**{**cfg.__dict__, "distillation": True})
+    fm = RecNext(cfg=cfg)
+    x = jnp.ones((2, 64, 64, 3))
+    variables = fm.init(jax.random.PRNGKey(0), x)
+    (y1, y2), updated = fm.apply(
+        variables, x, training=True, mutable=["batch_stats"],
+        rngs={"droppath": jax.random.PRNGKey(1)})
+    assert y1.shape == (2, 10) and y2.shape == (2, 10)
+    # batch stats must actually move
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(updated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_frozen_stats_mode():
+    cfg = SMALL["m"]
+    fm = RecNext(cfg=cfg, frozen_stats=True)
+    x = jnp.ones((2, 64, 64, 3))
+    variables = fm.init(jax.random.PRNGKey(0), x)
+    _, updated = fm.apply(variables, x, training=True, mutable=["batch_stats"],
+                          rngs={"droppath": jax.random.PRNGKey(1)})
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(updated["batch_stats"])
+    assert all(np.allclose(b, a) for b, a in zip(before, after))
