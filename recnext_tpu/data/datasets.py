@@ -1,0 +1,105 @@
+"""Datasets: ImageFolder (ImageNet layout), CIFAR-100 (python pickle format), and a
+synthetic dataset for smoke tests — no torchvision dependency.
+
+Reference: build_dataset (/root/reference/data/datasets.py:64-140) supporting
+CIFAR/IMNET/... ; here IMNET = ImageFolder, CIFAR = the standard cifar-100-python
+directory, FAKE = deterministic synthetic images (the multi-process integration-test
+stand-in for /root/reference/dist_train_cifar.sh when no dataset is on disk).
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+class ImageFolder:
+    """class-per-directory image dataset; returns (PIL.Image, label)."""
+
+    def __init__(self, root: str):
+        self.root = Path(root)
+        classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples = [
+            (p, self.class_to_idx[c])
+            for c in classes
+            for p in sorted((self.root / c).rglob("*"))
+            if p.suffix.lower() in IMG_EXTENSIONS
+        ]
+        self.nb_classes = len(classes)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+
+        path, label = self.samples[i]
+        with open(path, "rb") as f:
+            img = Image.open(io.BytesIO(f.read()))
+            img.load()
+        return img, label
+
+
+class CIFAR100:
+    """cifar-100-python pickle directory (train/test files)."""
+
+    nb_classes = 100
+
+    def __init__(self, root: str, train: bool = True):
+        path = Path(root) / "cifar-100-python" / ("train" if train else "test")
+        with open(path, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        self.data = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        self.labels = np.asarray(d[b"fine_labels"], np.int32)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+
+        return Image.fromarray(self.data[i]), int(self.labels[i])
+
+
+class FakeData:
+    """Deterministic synthetic images — shape-correct training without a dataset."""
+
+    def __init__(self, n: int = 1024, size: int = 224, nb_classes: int = 1000):
+        self.n, self.size, self.nb_classes = n, size, nb_classes
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+
+        g = np.random.default_rng(i)
+        arr = g.integers(0, 256, size=(self.size, self.size, 3), dtype=np.uint8)
+        return Image.fromarray(arr, "RGB"), int(i % self.nb_classes)
+
+
+def build_dataset(is_train: bool, data_set: str, data_path: str,
+                  input_size: int = 224) -> Tuple[object, int]:
+    """(dataset, nb_classes) — reference data/datasets.py:64-99 counterpart."""
+    if data_set == "CIFAR":
+        ds = CIFAR100(data_path, train=is_train)
+        return ds, 100
+    if data_set == "IMNET":
+        root = Path(data_path) / ("train" if is_train else "val")
+        ds = ImageFolder(str(root))
+        return ds, 1000
+    if data_set == "FOLDER":
+        root = Path(data_path) / ("train" if is_train else "val")
+        ds = ImageFolder(str(root))
+        return ds, ds.nb_classes
+    if data_set == "FAKE":
+        ds = FakeData(n=2048 if is_train else 512, size=input_size)
+        return ds, 1000
+    raise ValueError(f"unknown data_set {data_set!r}")

@@ -1,0 +1,244 @@
+"""Host-side image transforms (PIL + numpy) — no torchvision/timm dependency.
+
+Implements the reference training recipe (/root/reference/data/datasets.py:102-140):
+train = RandomResizedCrop(bicubic, scale .08-1) + flip + RandAugment(rand-m9-mstd0.5-inc1)
++ color-jitter 0.4 + normalize + RandomErasing(p=.25, pixel); eval = resize(256/224*s,
+bicubic) + center crop + normalize. Plus ThreeAugment (DeiT-III,
+/root/reference/data/threeaugment.py:88-121): RRC + flip + choice(grayscale, solarize,
+blur) + jitter.
+
+Outputs are HWC float32 normalized arrays (NHWC batches feed the TPU directly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageFilter, ImageOps
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+BICUBIC = Image.BICUBIC
+
+
+def normalize(img: Image.Image | np.ndarray) -> np.ndarray:
+    arr = np.asarray(img, np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return (arr[..., :3] - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def random_resized_crop(
+    rng: np.random.Generator,
+    img: Image.Image,
+    size: int,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+) -> Image.Image:
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target = rng.uniform(*scale) * area
+        log_r = rng.uniform(np.log(ratio[0]), np.log(ratio[1]))
+        ar = np.exp(log_r)
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            x = int(rng.integers(0, w - cw + 1))
+            y = int(rng.integers(0, h - ch + 1))
+            return img.resize((size, size), BICUBIC, box=(x, y, x + cw, y + ch))
+    # fallback: center crop
+    s = min(w, h)
+    x, y = (w - s) // 2, (h - s) // 2
+    return img.resize((size, size), BICUBIC, box=(x, y, x + s, y + s))
+
+
+def resize_center_crop(img: Image.Image, size: int, crop_pct: float = 224 / 256) -> Image.Image:
+    scale_size = int(round(size / crop_pct))
+    w, h = img.size
+    if w <= h:
+        nw, nh = scale_size, max(1, int(round(h * scale_size / w)))
+    else:
+        nh, nw = scale_size, max(1, int(round(w * scale_size / h)))
+    img = img.resize((nw, nh), BICUBIC)
+    x, y = (nw - size) // 2, (nh - size) // 2
+    return img.crop((x, y, x + size, y + size))
+
+
+# ---------------------------------------------------------------------------
+# RandAugment (timm 'rand-m9-mstd0.5-inc1' policy)
+# ---------------------------------------------------------------------------
+
+_MAX_LEVEL = 10.0
+_FILL = (124, 116, 104)
+
+
+def _affine(img, matrix):
+    return img.transform(img.size, Image.AFFINE, matrix, resample=BICUBIC, fillcolor=_FILL)
+
+
+def _shear_x(img, v):
+    return _affine(img, (1, v, 0, 0, 1, 0))
+
+
+def _shear_y(img, v):
+    return _affine(img, (1, 0, 0, v, 1, 0))
+
+
+def _translate_x(img, v):
+    return _affine(img, (1, 0, v * img.size[0], 0, 1, 0))
+
+
+def _translate_y(img, v):
+    return _affine(img, (1, 0, 0, 0, 1, v * img.size[1]))
+
+
+def _enhance(cls):
+    return lambda img, v: cls(img).enhance(v)
+
+
+def _posterize(img, bits):
+    return ImageOps.posterize(img, max(1, int(bits)))
+
+
+def _solarize(img, thresh):
+    return ImageOps.solarize(img, int(thresh))
+
+
+def _solarize_add(img, add, thresh=128):
+    arr = np.asarray(img, np.int32)
+    arr = np.where(arr < thresh, np.clip(arr + int(add), 0, 255), arr).astype(np.uint8)
+    return Image.fromarray(arr)
+
+
+def _rotate(img, v):
+    return img.rotate(v, resample=BICUBIC, fillcolor=_FILL)
+
+
+# (name, fn, level->arg mapping). 'inc1' = increasing-severity variants.
+def _lvl_signed(scale):
+    def f(rng, level):
+        v = level / _MAX_LEVEL * scale
+        return -v if rng.random() < 0.5 else v
+
+    return f
+
+
+def _lvl_enhance(rng, level):  # inc1: 1.0 +/- 0.9*level/10
+    v = level / _MAX_LEVEL * 0.9
+    return max(0.1, 1.0 + (-v if rng.random() < 0.5 else v))
+
+
+_RA_OPS = [
+    ("AutoContrast", lambda img, v: ImageOps.autocontrast(img), lambda rng, l: None),
+    ("Equalize", lambda img, v: ImageOps.equalize(img), lambda rng, l: None),
+    ("Invert", lambda img, v: ImageOps.invert(img), lambda rng, l: None),
+    ("Rotate", _rotate, _lvl_signed(30.0)),
+    ("Posterize", _posterize, lambda rng, l: 4 - int(l / _MAX_LEVEL * 4)),  # inc
+    ("Solarize", _solarize, lambda rng, l: 256 - int(l / _MAX_LEVEL * 256)),  # inc
+    ("SolarizeAdd", _solarize_add, lambda rng, l: int(l / _MAX_LEVEL * 110)),
+    ("Color", _enhance(ImageEnhance.Color), lambda rng, l: _lvl_enhance(rng, l)),
+    ("Contrast", _enhance(ImageEnhance.Contrast), lambda rng, l: _lvl_enhance(rng, l)),
+    ("Brightness", _enhance(ImageEnhance.Brightness), lambda rng, l: _lvl_enhance(rng, l)),
+    ("Sharpness", _enhance(ImageEnhance.Sharpness), lambda rng, l: _lvl_enhance(rng, l)),
+    ("ShearX", _shear_x, _lvl_signed(0.3)),
+    ("ShearY", _shear_y, _lvl_signed(0.3)),
+    ("TranslateX", _translate_x, _lvl_signed(0.45)),
+    ("TranslateY", _translate_y, _lvl_signed(0.45)),
+]
+
+
+def rand_augment(
+    rng: np.random.Generator,
+    img: Image.Image,
+    num_ops: int = 2,
+    magnitude: float = 9.0,
+    mstd: float = 0.5,
+) -> Image.Image:
+    for _ in range(num_ops):
+        name, fn, lvl = _RA_OPS[int(rng.integers(len(_RA_OPS)))]
+        m = float(np.clip(rng.normal(magnitude, mstd), 0, _MAX_LEVEL)) if mstd else magnitude
+        img = fn(img, lvl(rng, m))
+    return img
+
+
+def color_jitter(rng: np.random.Generator, img: Image.Image, strength: float = 0.4) -> Image.Image:
+    for cls in (ImageEnhance.Brightness, ImageEnhance.Contrast, ImageEnhance.Color):
+        f = float(rng.uniform(max(0.0, 1 - strength), 1 + strength))
+        img = cls(img).enhance(f)
+    return img
+
+
+def random_erasing(
+    rng: np.random.Generator,
+    arr: np.ndarray,
+    p: float = 0.25,
+    area: Tuple[float, float] = (0.02, 1 / 3),
+    ratio: Tuple[float, float] = (0.3, 3.33),
+) -> np.ndarray:
+    """timm RandomErasing mode='pixel': fill a random box with N(0,1) noise
+    (applies on the normalized array)."""
+    if rng.random() > p:
+        return arr
+    h, w = arr.shape[:2]
+    for _ in range(10):
+        target = rng.uniform(*area) * h * w
+        ar = np.exp(rng.uniform(np.log(ratio[0]), np.log(ratio[1])))
+        eh, ew = int(round(np.sqrt(target * ar))), int(round(np.sqrt(target / ar)))
+        if eh < h and ew < w and eh > 0 and ew > 0:
+            y = int(rng.integers(0, h - eh + 1))
+            x = int(rng.integers(0, w - ew + 1))
+            arr = arr.copy()
+            arr[y : y + eh, x : x + ew] = rng.normal(size=(eh, ew, arr.shape[2])).astype(arr.dtype)
+            return arr
+    return arr
+
+
+def three_augment_choice(rng: np.random.Generator, img: Image.Image) -> Image.Image:
+    """DeiT-III: RandomChoice(grayscale, solarize, gaussian blur) at p=1."""
+    c = int(rng.integers(3))
+    if c == 0:
+        return ImageOps.grayscale(img).convert("RGB")
+    if c == 1:
+        return ImageOps.solarize(img)
+    return img.filter(ImageFilter.GaussianBlur(radius=float(rng.uniform(0.1, 2.0))))
+
+
+@dataclasses.dataclass
+class TrainTransform:
+    """One sample: PIL -> augmented normalized HWC float32."""
+
+    size: int = 224
+    three_augment: bool = False
+    ra_magnitude: float = 9.0
+    jitter: float = 0.4
+    reprob: float = 0.25
+
+    def __call__(self, rng: np.random.Generator, img: Image.Image) -> np.ndarray:
+        img = img.convert("RGB")
+        img = random_resized_crop(rng, img, self.size)
+        if rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if self.three_augment:
+            img = three_augment_choice(rng, img)
+        else:
+            img = rand_augment(rng, img, magnitude=self.ra_magnitude)
+        if self.jitter:
+            img = color_jitter(rng, img, self.jitter)
+        arr = normalize(img)
+        if self.reprob:
+            arr = random_erasing(rng, arr, p=self.reprob)
+        return arr.astype(np.float32)
+
+
+@dataclasses.dataclass
+class EvalTransform:
+    size: int = 224
+    crop_pct: float = 224 / 256
+
+    def __call__(self, rng, img: Image.Image) -> np.ndarray:
+        img = img.convert("RGB")
+        return normalize(resize_center_crop(img, self.size, self.crop_pct)).astype(np.float32)

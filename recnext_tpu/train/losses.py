@@ -1,0 +1,72 @@
+"""Losses: soft-target cross-entropy (mixup), label smoothing, DeiT distillation.
+
+Reference: /root/reference/losses.py:8-64 (DistillationLoss, 'hard' = CE vs teacher
+argmax on the dist head, 'soft' = tau^2-scaled KL, alpha-blend); base criterion
+selection in /root/reference/main.py:354-366 (SoftTargetCrossEntropy under mixup,
+LabelSmoothingCrossEntropy(0.1) otherwise).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def soft_target_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """targets are probability rows (mixup/cutmix output). Mean over batch."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.sum(targets * logp, axis=-1))
+
+
+def label_smoothing_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, smoothing: float = 0.1
+) -> jnp.ndarray:
+    n = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return label_smoothing_cross_entropy(logits, labels, smoothing=0.0)
+
+
+def distillation_loss(
+    outputs,
+    targets: jnp.ndarray,
+    teacher_logits: Optional[jnp.ndarray] = None,
+    *,
+    base_criterion: Callable = soft_target_cross_entropy,
+    kind: str = "none",
+    alpha: float = 0.5,
+    tau: float = 1.0,
+) -> jnp.ndarray:
+    """DeiT distillation blend. `outputs` is the model output: logits, or a
+    (logits, logits_dist) tuple when the model runs with distillation=True."""
+    outputs_kd = None
+    if isinstance(outputs, (tuple, list)):
+        outputs, outputs_kd = outputs
+    base = base_criterion(outputs, targets)
+    if kind == "none":
+        return base
+    if outputs_kd is None:
+        raise ValueError("distillation requires the dual-head (logits, logits_dist) output")
+    if teacher_logits is None:
+        raise ValueError("distillation requires teacher logits")
+
+    if kind == "soft":
+        t = tau
+        logp_s = jax.nn.log_softmax(outputs_kd.astype(jnp.float32) / t, axis=-1)
+        logp_t = jax.nn.log_softmax(teacher_logits.astype(jnp.float32) / t, axis=-1)
+        # KL(log_target) summed, scaled T^2 / numel — exactly torch's reduction='sum'
+        # divided by outputs_kd.numel() (losses.py:52-58).
+        kl = jnp.sum(jnp.exp(logp_t) * (logp_t - logp_s))
+        dist = kl * (t * t) / outputs_kd.size
+    elif kind == "hard":
+        dist = cross_entropy(outputs_kd, jnp.argmax(teacher_logits, axis=-1))
+    else:
+        raise ValueError(f"unknown distillation kind {kind!r}")
+    return base * (1.0 - alpha) + dist * alpha

@@ -1,0 +1,260 @@
+"""ImageNet/CIFAR training CLI — the `python main.py` counterpart
+(/root/reference/main.py:30-468), TPU-native:
+
+* ONE jitted train step over a ("data","fsdp") mesh (no DDP wrapper, no loss scaler);
+  bf16 compute / fp32 params by default.
+* RepViT/DeiT recipe defaults: AdamW lr 1e-3 x batch/512, wd 0.025, AGC clip 0.02,
+  cosine 300 epochs + 5 warmup + 10 cooldown, mixup/cutmix, label smoothing 0.1,
+  RandAugment, EMA 0.99996, hard distillation (dual head).
+* orbax checkpointing of the full TrainState (keeps last 3 + best, like
+  main.py:419-447), per-epoch JSONL log with the reference's key names so the
+  log-replay validation pattern (SURVEY.md §4.2) works unchanged.
+
+Smoke-test config (the dist_train_cifar.sh counterpart):
+  python -m recnext_tpu.train.main --model recnext_m0 --data-set FAKE --epochs 1 \
+      --batch-size 32 --input-size 64 --steps-per-epoch 4 --output-dir /tmp/run
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("RecNext TPU training")
+    p.add_argument("--model", default="recnext_m1")
+    p.add_argument("--batch-size", type=int, default=256, help="global batch")
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--input-size", type=int, default=224)
+    # optimization (reference defaults, main.py:52-91)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=0.025)
+    p.add_argument("--clip-grad", type=float, default=0.02, help="AGC clip factor")
+    p.add_argument("--warmup-epochs", type=int, default=5)
+    p.add_argument("--cooldown-epochs", type=int, default=10)
+    p.add_argument("--warmup-lr", type=float, default=1e-6)
+    p.add_argument("--min-lr", type=float, default=1e-5)
+    # augmentation
+    p.add_argument("--smoothing", type=float, default=0.1)
+    p.add_argument("--mixup", type=float, default=0.8)
+    p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--ThreeAugment", action="store_true")
+    p.add_argument("--aa-magnitude", type=float, default=9.0)
+    p.add_argument("--color-jitter", type=float, default=0.4)
+    p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--no-repeated-aug", action="store_true")
+    # distillation (losses.py defaults via main.py:96-104)
+    p.add_argument("--distillation-type", default="none", choices=["none", "hard", "soft"])
+    p.add_argument("--distillation-alpha", type=float, default=0.5)
+    p.add_argument("--distillation-tau", type=float, default=1.0)
+    p.add_argument("--teacher-ckpt", default="", help="orbax dir or .pth for the teacher")
+    p.add_argument("--teacher-model", default="", help="registry name of the teacher")
+    # EMA
+    p.add_argument("--model-ema-decay", type=float, default=0.99996)
+    p.add_argument("--no-model-ema", action="store_true")
+    # data
+    p.add_argument("--data-set", default="IMNET", choices=["IMNET", "CIFAR", "FOLDER", "FAKE"])
+    p.add_argument("--data-path", default="")
+    p.add_argument("--output-dir", default="runs/default")
+    p.add_argument("--resume", default="")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--eval-ema", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    # system
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--steps-per-epoch", type=int, default=0,
+                   help="truncate each epoch (smoke tests); 0 = full epoch")
+    p.add_argument("--log-every", type=int, default=100)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    # honor JAX_PLATFORMS even when a site hook pre-pinned another platform
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    import optax
+    import orbax.checkpoint as ocp
+
+    from recnext_tpu.data.datasets import build_dataset
+    from recnext_tpu.data.loader import eval_loader, train_loader
+    from recnext_tpu.data.transforms import EvalTransform, TrainTransform
+    from recnext_tpu.models.registry import create_model
+    from recnext_tpu.parallel import batch_sharding, make_mesh, replicated, state_sharding
+    from recnext_tpu.train.optim import cosine_schedule, make_optimizer, scaled_lr
+    from recnext_tpu.train.state import TrainState
+    from recnext_tpu.train.step import make_eval_step, make_train_step
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    is_main = jax.process_index() == 0
+
+    def log(msg):
+        if is_main:
+            print(msg, flush=True)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    mesh = make_mesh(fsdp=args.fsdp)
+    n_dev = mesh.devices.size
+    log(f"mesh: {mesh.shape}, devices: {n_dev}, processes: {jax.process_count()}")
+
+    train_ds, nb_classes = build_dataset(True, args.data_set, args.data_path, args.input_size)
+    val_ds, _ = build_dataset(False, args.data_set, args.data_path, args.input_size)
+
+    distill = args.distillation_type != "none"
+    model = create_model(args.model, num_classes=nb_classes,
+                         distillation=distill, dtype=dtype)
+    x0 = jnp.zeros((1, args.input_size, args.input_size, 3), dtype)
+    variables = model.init(jax.random.PRNGKey(args.seed), x0)
+    n_parameters = sum(int(p.size) for p in jax.tree.leaves(variables["params"]))
+    log(f"model {args.model}: {n_parameters/1e6:.2f}M params, {nb_classes} classes")
+
+    steps_per_epoch = args.steps_per_epoch or max(len(train_ds) // args.batch_size, 1)
+    lr = scaled_lr(args.lr, args.batch_size)
+    sched = cosine_schedule(lr, steps_per_epoch, args.epochs, args.warmup_epochs,
+                            args.cooldown_epochs, args.warmup_lr, args.min_lr)
+    tx = make_optimizer(sched, args.weight_decay, args.clip_grad)
+    state = TrainState.create(variables, tx, ema=not args.no_model_ema)
+
+    teacher_apply = None
+    if distill:
+        if args.teacher_model:
+            teacher = create_model(args.teacher_model, num_classes=nb_classes, dtype=dtype)
+            if args.teacher_ckpt.endswith((".pth", ".pt")):
+                from recnext_tpu.convert import load_torch_checkpoint
+
+                tvars = load_torch_checkpoint(args.teacher_ckpt)
+            elif args.teacher_ckpt:
+                tvars = ocp.StandardCheckpointer().restore(args.teacher_ckpt)
+            else:
+                tvars = teacher.init(jax.random.PRNGKey(1), x0)
+            teacher_apply = lambda xb: teacher.apply(tvars, xb, training=False)
+        else:
+            raise SystemExit("--distillation-type requires --teacher-model")
+
+    train_step = make_train_step(
+        model, tx, num_classes=nb_classes, teacher_apply=teacher_apply,
+        distillation=args.distillation_type, alpha=args.distillation_alpha,
+        tau=args.distillation_tau, mixup=args.mixup > 0,
+        mixup_kwargs=dict(mixup_alpha=args.mixup or 0.8, cutmix_alpha=args.cutmix or 1.0),
+        smoothing=args.smoothing, ema_decay=args.model_ema_decay,
+    )
+    eval_step = make_eval_step(model, ema=args.eval_ema)
+
+    st_sh = state_sharding(state, mesh)
+    b_sh = batch_sharding(mesh)
+    r_sh = replicated(mesh)
+    state = jax.device_put(state, st_sh)
+    jitted_train = jax.jit(train_step,
+                           in_shardings=(st_sh, {"image": b_sh, "label": b_sh}, r_sh),
+                           out_shardings=(st_sh, r_sh), donate_argnums=(0,))
+    jitted_eval = jax.jit(eval_step, in_shardings=(st_sh, {"image": b_sh, "label": b_sh}),
+                          out_shardings=r_sh)
+
+    mgr = ocp.CheckpointManager(
+        out_dir.resolve() / "ckpt",
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=3, best_fn=lambda m: m.get("acc1", 0.0), keep_period=None),
+    )
+    start_epoch = 0
+    if args.resume:
+        target = jax.tree.map(np.asarray, jax.device_get(state))
+        restored = ocp.StandardCheckpointer().restore(
+            Path(args.resume).resolve(), target=target)
+        state = jax.device_put(restored, st_sh)
+        start_epoch = int(np.asarray(state.step)) // steps_per_epoch
+        log(f"resumed from {args.resume} at epoch {start_epoch}")
+    elif mgr.latest_step() is not None:
+        target = jax.tree.map(np.asarray, jax.device_get(state))
+        state = jax.device_put(
+            mgr.restore(mgr.latest_step(),
+                        args=ocp.args.StandardRestore(target)), st_sh)
+        start_epoch = mgr.latest_step() + 1
+        log(f"auto-resumed at epoch {start_epoch}")
+
+    def run_eval():
+        tot = {"correct1": 0, "correct5": 0, "count": 0}
+        loader = eval_loader(val_ds, EvalTransform(args.input_size),
+                             batch_size=args.batch_size)
+        for i, batch in enumerate(iter(loader)):
+            if args.steps_per_epoch and i >= args.steps_per_epoch:
+                break
+            if batch["image"].shape[0] % n_dev != 0:  # pad ragged tail
+                pad = n_dev - batch["image"].shape[0] % n_dev
+                batch = {
+                    "image": np.concatenate([batch["image"], batch["image"][:pad]]),
+                    "label": np.concatenate([batch["label"], np.full((pad,), -1, np.int32)]),
+                }
+            m = jitted_eval(state, {k: jax.device_put(v, b_sh) for k, v in batch.items()})
+            tot["correct1"] += int(m["correct1"])
+            tot["correct5"] += int(m["correct5"])
+            tot["count"] += int(np.sum(np.asarray(batch["label"]) >= 0))
+        acc1 = 100.0 * tot["correct1"] / max(tot["count"], 1)
+        acc5 = 100.0 * tot["correct5"] / max(tot["count"], 1)
+        return acc1, acc5
+
+    if args.eval:
+        acc1, acc5 = run_eval()
+        log(json.dumps({"test_acc1": acc1, "test_acc5": acc5}))
+        return {"acc1": acc1, "acc5": acc5}
+
+    key = jax.device_put(jax.random.PRNGKey(args.seed), r_sh)
+    max_acc = 0.0
+    tt = TrainTransform(args.input_size, three_augment=args.ThreeAugment,
+                        ra_magnitude=args.aa_magnitude, jitter=args.color_jitter,
+                        reprob=args.reprob)
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        loader = train_loader(train_ds, tt, batch_size=args.batch_size, epoch=epoch,
+                              repeated_aug=not args.no_repeated_aug, seed=args.seed)
+        losses, seen = [], 0
+        for i, batch in enumerate(iter(loader)):
+            if args.steps_per_epoch and i >= args.steps_per_epoch:
+                break
+            batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
+            state, metrics = jitted_train(state, batch, key)
+            if (i + 1) % args.log_every == 0:
+                loss = float(metrics["loss"])
+                if not np.isfinite(loss):
+                    raise SystemExit(f"Loss is {loss}, stopping training")  # engine.py:54-56
+                log(f"epoch {epoch} step {i+1}: loss {loss:.4f}")
+            losses.append(metrics["loss"])
+            seen += args.batch_size
+        train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+        if not np.isfinite(train_loss):
+            raise SystemExit(f"Loss is {train_loss}, stopping training")
+
+        acc1, acc5 = run_eval()
+        max_acc = max(max_acc, acc1)
+        lr_now = float(sched(int(np.asarray(jax.device_get(state.step)))))
+        stats = {"train_lr": lr_now, "train_loss": train_loss, "test_acc1": acc1,
+                 "test_acc5": acc5, "epoch": epoch, "n_parameters": n_parameters,
+                 "epoch_time_s": round(time.time() - t0, 1),
+                 "images_per_sec": round(seen / max(time.time() - t0, 1e-9), 1)}
+        log(json.dumps(stats))
+        if is_main:
+            with open(out_dir / "log.txt", "a") as f:
+                f.write(json.dumps(stats) + "\n")
+        mgr.save(epoch, args=ocp.args.StandardSave(jax.device_get(state)),
+                 metrics={"acc1": acc1})
+        mgr.wait_until_finished()
+    log(f"max accuracy: {max_acc:.2f}%")
+    return {"max_acc": max_acc, "state": state}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Optimizer + LR schedule, matching the reference recipe.
+
+Reference: timm create_optimizer (AdamW, lr 1e-3 x total_batch/512, wd 0.025,
+/root/reference/main.py:52-91,318-323) + cosine schedule (5 warmup epochs from 1e-6,
+10 cooldown epochs at min_lr, 300 epochs, min_lr 1e-5) and AGC gradient clipping
+(clip=0.02, /root/reference/main.py:58-61, applied by NativeScaler in engine.py:63-64).
+
+timm's no-weight-decay rule: 1-D params (BN scales/biases, all biases) get wd=0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def scaled_lr(base_lr: float, global_batch: int) -> float:
+    """Linear LR scaling: lr * total_batch / 512 (main.py:318-319)."""
+    return base_lr * global_batch / 512.0
+
+
+def cosine_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    epochs: int = 300,
+    warmup_epochs: int = 5,
+    cooldown_epochs: int = 10,
+    warmup_lr: float = 1e-6,
+    min_lr: float = 1e-5,
+):
+    """timm CosineLRScheduler equivalent: per-epoch cosine with linear warmup and a
+    flat min_lr cooldown tail. The reference steps the schedule per epoch
+    (main.py:413); we return a per-step schedule that is piecewise-constant over
+    epochs to match exactly."""
+
+    def sched(step):
+        epoch = step // steps_per_epoch
+        cosine_epochs = max(epochs - cooldown_epochs, 1)
+
+        warm = warmup_lr + (base_lr - warmup_lr) * (epoch / max(warmup_epochs, 1))
+        t = (epoch - warmup_epochs) / max(cosine_epochs - warmup_epochs, 1)
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (1.0 + jnp.cos(jnp.pi * t))
+        lr = jnp.where(epoch < warmup_epochs, warm, jnp.where(epoch < cosine_epochs, cos, min_lr))
+        return lr
+
+    return sched
+
+
+def param_labels(params) -> Any:
+    """'decay' for >=2-D kernels, 'no_decay' for 1-D (biases, norm scales) — the timm
+    no-filter convention used by the reference's create_optimizer."""
+    return jax.tree.map(lambda p: "decay" if p.ndim >= 2 else "no_decay", params)
+
+
+def make_optimizer(
+    learning_rate,
+    weight_decay: float = 0.025,
+    agc_clip: float = 0.02,
+    betas=(0.9, 0.999),
+) -> optax.GradientTransformation:
+    """AGC clip -> AdamW (wd only on >=2-D params), per the reference recipe."""
+
+    def adamw(wd):
+        return optax.adamw(learning_rate, b1=betas[0], b2=betas[1], weight_decay=wd)
+
+    opt = optax.multi_transform(
+        {"decay": adamw(weight_decay), "no_decay": adamw(0.0)},
+        param_labels,
+    )
+    if agc_clip and agc_clip > 0:
+        opt = optax.chain(optax.adaptive_grad_clip(agc_clip), opt)
+    return opt

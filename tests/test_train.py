@@ -1,0 +1,170 @@
+"""Training-stack tests: losses (golden vs torch reference), optimizer/schedule math,
+mixup semantics, and the full sharded train step on the 8-device CPU mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from recnext_tpu.data.mixup import mixup_cutmix, one_hot_smooth
+from recnext_tpu.models.recnext import RecNext, RecNextConfig
+from recnext_tpu.parallel import batch_sharding, make_mesh, replicated, state_sharding
+from recnext_tpu.train import losses as L
+from recnext_tpu.train.optim import cosine_schedule, make_optimizer, scaled_lr
+from recnext_tpu.train.state import TrainState
+from recnext_tpu.train.step import make_eval_step, make_train_step
+
+TINY = RecNextConfig(name="tiny", family="m", embed_dim=(8, 16, 32, 64),
+                     depth=(1, 0, 1, 0), mlp_ratio=(2, 2, 2, 2), num_classes=8,
+                     distillation=True)
+
+
+def test_distillation_loss_golden_vs_torch():
+    """Exact parity with /root/reference/losses.py for both hard and soft modes."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_losses", "/root/reference/losses.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.default_rng(0)
+    b, n = 4, 10
+    out = rng.normal(size=(b, n)).astype(np.float32)
+    out_kd = rng.normal(size=(b, n)).astype(np.float32)
+    teacher = rng.normal(size=(b, n)).astype(np.float32)
+    labels = rng.integers(0, n, size=(b,))
+
+    class T(torch.nn.Module):
+        def forward(self, x):
+            return torch.from_numpy(teacher)
+
+    for kind, tau in [("hard", 1.0), ("soft", 2.0), ("none", 1.0)]:
+        tl = ref.DistillationLoss(torch.nn.CrossEntropyLoss(), T(), kind, 0.5, tau)
+        want = tl(
+            torch.zeros(b, 3), (torch.from_numpy(out), torch.from_numpy(out_kd)),
+            torch.from_numpy(labels),
+        ).item()
+        got = L.distillation_loss(
+            (jnp.asarray(out), jnp.asarray(out_kd)), jnp.asarray(labels),
+            jnp.asarray(teacher), base_criterion=L.cross_entropy,
+            kind=kind, alpha=0.5, tau=tau,
+        )
+        np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_soft_target_ce_matches_smoothing_ce():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(6, 12)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 12, size=(6,)))
+    t = one_hot_smooth(labels, 12, 0.1)
+    a = L.soft_target_cross_entropy(logits, t)
+    b = L.label_smoothing_cross_entropy(logits, labels, 0.1)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_cosine_schedule_shape():
+    sched = cosine_schedule(1e-3, steps_per_epoch=10, epochs=300, warmup_epochs=5,
+                            cooldown_epochs=10, warmup_lr=1e-6, min_lr=1e-5)
+    assert float(sched(0)) == pytest.approx(1e-6)
+    assert float(sched(5 * 10)) == pytest.approx(1e-3, rel=1e-6)  # end of warmup
+    assert float(sched(299 * 10)) == pytest.approx(1e-5)  # cooldown tail
+    mid = float(sched(150 * 10))
+    assert 1e-5 < mid < 1e-3
+    assert scaled_lr(1e-3, 2048) == pytest.approx(4e-3)
+
+
+def test_mixup_targets_sum_to_one():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 16, 16, 3)).astype(np.float32))
+    y = jnp.arange(8) % 4
+    for seed in range(4):
+        xm, t = mixup_cutmix(jax.random.PRNGKey(seed), x, y, num_classes=4)
+        assert xm.shape == x.shape and t.shape == (8, 4)
+        np.testing.assert_allclose(np.asarray(t.sum(-1)), 1.0, rtol=1e-5)
+
+
+def _make_state_and_step(mesh, mixup=True, distillation="hard"):
+    model = RecNext(cfg=TINY)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    tx = make_optimizer(cosine_schedule(1e-3, steps_per_epoch=10))
+    state = TrainState.create(variables, tx)
+
+    tvars = model.init(jax.random.PRNGKey(1), x0)
+    teacher = lambda xb: model.apply(tvars, xb, training=False)
+    step = make_train_step(model, tx, num_classes=8, teacher_apply=teacher,
+                           distillation=distillation, mixup=mixup)
+    return model, state, step
+
+
+def test_sharded_train_step_runs_and_learns():
+    mesh = make_mesh(8, fsdp=2)
+    model, state, step = _make_state_and_step(mesh)
+    st_sh = state_sharding(state, mesh)
+    b_sh = batch_sharding(mesh)
+    r_sh = replicated(mesh)
+    state = jax.device_put(state, st_sh)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jax.device_put(rng.normal(size=(16, 32, 32, 3)).astype(np.float32), b_sh),
+        "label": jax.device_put((np.arange(16) % 8).astype(np.int32), b_sh),
+    }
+    key = jax.device_put(jax.random.PRNGKey(0), r_sh)
+
+    jitted = jax.jit(step, in_shardings=(st_sh, {"image": b_sh, "label": b_sh}, r_sh),
+                     out_shardings=(st_sh, r_sh))
+    with mesh:
+        losses = []
+        for _ in range(5):
+            state, metrics = jitted(state, batch, key)
+            losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 5
+    # EMA must track params but not equal them
+    lp = jax.tree_util.tree_leaves(state.params)[0]
+    le = jax.tree_util.tree_leaves(state.ema_params)[0]
+    assert not np.allclose(np.asarray(lp), np.asarray(le))
+
+
+def test_data_parallel_matches_single_device():
+    """The same batch must produce the same loss whether sharded over 8 devices or 1 —
+    global-batch BN + psum'd grads make DP exact, not approximate."""
+    mesh8 = make_mesh(8, fsdp=1)
+    mesh1 = make_mesh(1, fsdp=1)
+    rng = np.random.default_rng(2)
+    image = rng.normal(size=(16, 32, 32, 3)).astype(np.float32)
+    label = (np.arange(16) % 8).astype(np.int32)
+    key = jax.random.PRNGKey(3)
+
+    results = []
+    for mesh in (mesh8, mesh1):
+        model, state, step = _make_state_and_step(mesh, mixup=False)
+        st_sh = state_sharding(state, mesh)
+        b_sh = batch_sharding(mesh)
+        r_sh = replicated(mesh)
+        state = jax.device_put(state, st_sh)
+        batch = {"image": jax.device_put(image, b_sh), "label": jax.device_put(label, b_sh)}
+        jitted = jax.jit(step, in_shardings=(st_sh, {"image": b_sh, "label": b_sh}, r_sh),
+                         out_shardings=(st_sh, r_sh))
+        with mesh:
+            state, metrics = jitted(state, batch, jax.device_put(key, r_sh))
+            state, metrics2 = jitted(state, batch, jax.device_put(key, r_sh))
+        results.append((float(metrics["loss"]), float(metrics2["loss"])))
+    np.testing.assert_allclose(results[0], results[1], rtol=2e-4)
+
+
+def test_eval_step_counts():
+    model = RecNext(cfg=TINY)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(variables, tx)
+    ev = make_eval_step(model)
+    batch = {"image": jnp.zeros((4, 32, 32, 3)), "label": jnp.zeros((4,), jnp.int32)}
+    m = ev(state, batch)
+    assert int(m["count"]) == 4
+    assert 0 <= int(m["correct1"]) <= int(m["correct5"]) <= 4
