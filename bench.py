@@ -22,6 +22,8 @@ BASELINES = {  # RTX3090 fused img/s, /root/reference/upload.py:12-34
     "recnext_a0": 4891, "recnext_a1": 2730, "recnext_a2": 2331, "recnext_a3": 2151,
     "recnext_a4": 1265, "recnext_a5": 733,
     "recnext_t": 13878, "recnext_s": 7989, "recnext_b": 4450,
+    "recnext_t_share_channel": 13957, "recnext_s_share_channel": 8034,
+    "recnext_b_share_channel": 4472,
 }
 
 

@@ -1,0 +1,66 @@
+"""Parameter and FLOP counting via XLA cost analysis.
+
+Counterpart of /root/reference/flops.py:11-40 (fvcore FlopCountAnalysis + param count
+on the fused model). XLA's compiled cost analysis counts every fused HLO op, so the
+number reflects what actually executes on the TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def count_params(params: Any) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def count_flops(fn, *args) -> float:
+    """Total FLOPs of jit(fn)(*args) per XLA cost analysis."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
+
+def model_flops(model_name: str, input_size: int = 224, fused: bool = True,
+                batch: int = 1) -> Tuple[int, float]:
+    """(params, MACs) for a registry model at the given resolution (MACs = FLOPs/2,
+    matching fvcore's multiply-add convention)."""
+    from recnext_tpu.fusion import fuse_params
+    from recnext_tpu.models.registry import create_model
+
+    model = create_model(model_name, fused=False)
+    x = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    if fused:
+        variables = fuse_params(variables)
+        model = create_model(model_name, fused=True)
+    n_params = count_params(variables["params"])
+
+    def fwd(v, xx):
+        return model.apply(v, xx, training=False)
+
+    flops = count_flops(fwd, variables, x) / batch
+    return n_params, flops / 2.0
+
+
+def main():
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="recnext_m1")
+    p.add_argument("--input-size", type=int, default=224)
+    p.add_argument("--unfused", action="store_true")
+    args = p.parse_args()
+    n, macs = model_flops(args.model, args.input_size, fused=not args.unfused)
+    print(json.dumps({"model": args.model, "params_M": round(n / 1e6, 2),
+                      "macs_G": round(macs / 1e9, 3)}))
+
+
+if __name__ == "__main__":
+    main()

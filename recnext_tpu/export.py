@@ -1,0 +1,125 @@
+"""Model publishing and export — the TPU-native counterpart of the reference's
+publish/export pipeline (/root/reference/publish.py:13-53 extract-or-fuse+script,
+/root/reference/export_coreml.py:18-44 trace+convert, segmentation/tools/pytorch2onnx).
+
+* `publish_fused`    — BN-fuse and save inference params (msgpack via flax
+  serialization): the `*_fused.pt` counterpart.
+* `load_published`   — restore them for the fused=True model.
+* `export_stablehlo` — `jax.export` the jitted fused forward to portable StableHLO
+  bytes: the TorchScript/ONNX/CoreML counterpart (StableHLO is the interchange format
+  TPU serving stacks consume).
+* `import_torch_and_publish` — one-shot: reference .pth -> converted -> fused -> saved.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from recnext_tpu.fusion import fuse_params
+from recnext_tpu.models.registry import create_model, get_config
+
+
+def publish_fused(model_name: str, variables: Dict[str, Any], out_path: str) -> Path:
+    """Fuse train/eval variables and write <out>/<model>_fused.msgpack + meta.json."""
+    from flax import serialization
+
+    fused = fuse_params(variables)
+    out = Path(out_path)
+    out.mkdir(parents=True, exist_ok=True)
+    blob = serialization.to_bytes(fused)
+    f = out / f"{model_name}_fused.msgpack"
+    f.write_bytes(blob)
+    cfg = get_config(model_name)
+    (out / f"{model_name}_meta.json").write_text(json.dumps({
+        "model": model_name, "family": cfg.family, "embed_dim": cfg.embed_dim,
+        "depth": cfg.depth, "num_classes": cfg.num_classes, "fused": True,
+    }, indent=2))
+    return f
+
+
+def load_published(model_name: str, path: str) -> Dict[str, Any]:
+    """Restore published fused params for create_model(model_name, fused=True)."""
+    from flax import serialization
+
+    model = create_model(model_name, fused=True)
+    x = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), x)
+    p = Path(path)
+    if p.is_dir():
+        p = p / f"{model_name}_fused.msgpack"
+    return serialization.from_bytes(template, p.read_bytes())
+
+
+def export_stablehlo(
+    model_name: str,
+    variables: Optional[Dict[str, Any]] = None,
+    *,
+    batch: int = 1,
+    input_size: int = 224,
+    dtype=jnp.bfloat16,
+    fused: bool = True,
+    out_path: Optional[str] = None,
+) -> bytes:
+    """Serialize the jitted forward to StableHLO bytes (jax.export)."""
+    from jax import export as jexport
+
+    model = create_model(model_name, fused=fused, dtype=dtype)
+    x = jnp.zeros((batch, input_size, input_size, 3), dtype)
+    if variables is None:
+        base = create_model(model_name, fused=False, dtype=dtype)
+        variables = base.init(jax.random.PRNGKey(0), x[:1])
+        if fused:
+            variables = fuse_params(variables)
+
+    def fwd(xx):
+        return model.apply(jax.tree.map(jnp.asarray, variables), xx, training=False)
+
+    exported = jexport.export(jax.jit(fwd))(
+        jax.ShapeDtypeStruct(x.shape, x.dtype))
+    blob = exported.serialize()
+    if out_path:
+        Path(out_path).write_bytes(blob)
+    return blob
+
+
+def import_torch_and_publish(model_name: str, torch_ckpt: str, out_path: str) -> Path:
+    """Reference .pth checkpoint -> flax -> fused -> published artifact."""
+    from recnext_tpu.convert import load_torch_checkpoint
+
+    variables = load_torch_checkpoint(torch_ckpt)
+    return publish_fused(model_name, variables, out_path)
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser("publish / export a model")
+    p.add_argument("--model", required=True)
+    p.add_argument("--torch-ckpt", default="", help=".pth to import (else random init)")
+    p.add_argument("--out", default="published")
+    p.add_argument("--stablehlo", action="store_true")
+    p.add_argument("--batch", type=int, default=1)
+    args = p.parse_args()
+
+    if args.torch_ckpt:
+        f = import_torch_and_publish(args.model, args.torch_ckpt, args.out)
+    else:
+        model = create_model(args.model)
+        x = jnp.zeros((1, 224, 224, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        f = publish_fused(args.model, variables, args.out)
+    print(f"published {f}")
+    if args.stablehlo:
+        out = Path(args.out) / f"{args.model}_b{args.batch}.stablehlo"
+        export_stablehlo(args.model, load_published(args.model, args.out),
+                         batch=args.batch, out_path=str(out))
+        print(f"exported {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -169,38 +169,53 @@ class MetaNeXtBlockA(nn.Module):
 
 class MetaNeXtBlockL(nn.Module):
     """RepVGGDW, then x + drop_path(mlp(PartialChannel(mixer)(x))); mixer is RecAttn2d
-    (LA1 stage 0, LA2 stages 1-2) or plain LinearAttention3 at stage 3.
-    Reference: /root/reference/lsnet/model/recattn.py:240-251."""
+    (LA1 stage 0, LA2 stages 1-2) or plain LinearAttention3 at stage >= la3_from_stage.
+    Reference: /root/reference/lsnet/model/recattn.py:240-251.
+
+    Share-channel mode (/root/reference/lsnet/model/recattn_share_channel.py:265-325):
+    `share="collect"` appends the partial-channel output to `x1s`; `share="share"`
+    replaces the token mixer with x + concat(x1s) (the previous split_rate partial
+    outputs). The share-channel variant also moves the LA3 cutoff to stage >= 2 and
+    uses single-head attention throughout."""
 
     mlp_ratio: float
     stage: int
     num_heads: int = 2
     split_rate: int = 4
     drop_path: float = 0.0
+    la3_from_stage: int = 3
+    share: str = "off"  # off | collect | share
     fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 x1s: Optional[list] = None) -> jnp.ndarray:
         c = x.shape[-1]
         kw = dict(use_bias=True, fused=self.fused, dtype=self.dtype)
         x = RepVGGDW(fused=self.fused, dtype=self.dtype, name="rep_mixer")(
             x, training=training
         )
-        if self.stage >= 3:
-            inner = LinearAttention(self.num_heads, variant=3, name="attn", **kw)
+        if self.share == "share":
+            # ShareChannelOperation: x + concat of the collected partial outputs
+            y = x + jnp.concatenate(x1s, axis=-1)
         else:
-            inner = RecAttn2d(
-                num_heads=self.num_heads,
-                la_variant=1 if self.stage == 0 else 2,
-                name="attn",
-                **kw,
-            )
-        # PartialChannelOperation (lsnet/model/recattn.py:226-237), inlined so the
-        # attn params bind at block scope (torch key token_mixer.attn.* -> attn.*).
-        split = c // self.split_rate
-        y1 = inner(x[..., :split], training=training)
-        y = jnp.concatenate([y1, x[..., split:]], axis=-1)
+            if self.stage >= self.la3_from_stage:
+                inner = LinearAttention(self.num_heads, variant=3, name="attn", **kw)
+            else:
+                inner = RecAttn2d(
+                    num_heads=self.num_heads,
+                    la_variant=1 if self.stage == 0 else 2,
+                    name="attn",
+                    **kw,
+                )
+            # PartialChannelOperation (lsnet/model/recattn.py:226-237), inlined so the
+            # attn params bind at block scope (torch key token_mixer.attn.* -> attn.*).
+            split = c // self.split_rate
+            y1 = inner(x[..., :split], training=training)
+            if self.share == "collect" and x1s is not None:
+                x1s.append(y1)
+            y = jnp.concatenate([y1, x[..., split:]], axis=-1)
         y = Mlp(int(c * self.mlp_ratio), c, use_bias=True, fused=self.fused,
                 dtype=self.dtype, name="channel_mixer")(y, training=training)
         y = DropPath(self.drop_path, name="drop_path")(y, training=training)
@@ -353,10 +368,24 @@ class RecNext(nn.Module):
                                                  fused=self.fused, dtype=self.dtype,
                                                  name=name))
                 else:
+                    share = "off"
+                    la3_from = 3
+                    heads = cfg.num_heads[i]
+                    if cfg.share_channel:
+                        # share-channel variant: LA3 from stage 2; stage 3 is the
+                        # share stage with every (split_rate+1)-th block sharing;
+                        # attention is single-head throughout (the share-channel file's
+                        # LAs take no num_heads, recattn_share_channel.py:37-110)
+                        la3_from = 2
+                        heads = 2 if i >= 2 else 1  # LA3's internal heads = n//2 = 1
+                        if i >= 3:
+                            share = ("share" if (j + 1) % (cfg.split_rates[i] + 1) == 0
+                                     else "collect")
                     blocks.append(
-                        MetaNeXtBlockL(ratio, stage=i, num_heads=cfg.num_heads[i],
+                        MetaNeXtBlockL(ratio, stage=i, num_heads=heads,
                                        split_rate=cfg.split_rates[i],
-                                       drop_path=rates[i][j], fused=self.fused,
+                                       drop_path=rates[i][j], la3_from_stage=la3_from,
+                                       share=share, fused=self.fused,
                                        dtype=self.dtype, name=name)
                     )
             stage_blocks.append(blocks)
@@ -381,8 +410,14 @@ class RecNext(nn.Module):
         for ds, blocks in zip(self.downsamples, self.stage_blocks):
             if ds is not None:
                 x = ds(x, training=t)
+            x1s: list = []
             for blk in blocks:
-                x = blk(x, training=t)
+                if getattr(blk, "share", "off") != "off":
+                    x = blk(x, training=t, x1s=x1s)
+                    if blk.share == "share":
+                        x1s.clear()
+                else:
+                    x = blk(x, training=t)
             outs.append(x)
         return outs
 

@@ -1,0 +1,62 @@
+"""Export/publish round-trips and FLOP counting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recnext_tpu.benchmark.flops import count_params, model_flops
+from recnext_tpu.export import export_stablehlo, load_published, publish_fused
+from recnext_tpu.models.recnext import RecNext, RecNextConfig
+from recnext_tpu.models.registry import MODEL_CONFIGS, create_model
+
+
+def test_publish_roundtrip(tmp_path):
+    name = "recnext_m0"
+    model = create_model(name)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    f = publish_fused(name, variables, str(tmp_path))
+    assert f.exists() and (tmp_path / f"{name}_meta.json").exists()
+
+    restored = load_published(name, str(tmp_path))
+    fused_model = create_model(name, fused=True)
+    y1 = fused_model.apply(restored, x, training=False)
+
+    y0 = model.apply(variables, x, training=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-4, rtol=1e-4)
+
+
+def test_stablehlo_export_executes(tmp_path):
+    from jax import export as jexport
+
+    cfg = RecNextConfig(name="tiny", family="m", embed_dim=(8, 16, 32, 64),
+                        depth=(1, 0, 1, 0), mlp_ratio=(2, 2, 2, 2), num_classes=4)
+    model = RecNext(cfg=cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def fwd(xx):
+        return model.apply(variables, xx, training=False)
+
+    exported = jexport.export(jax.jit(fwd))(jax.ShapeDtypeStruct(x.shape, x.dtype))
+    blob = exported.serialize()
+    assert len(blob) > 1000
+    # deserialize and run
+    back = jexport.deserialize(blob)
+    y = back.call(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(fwd(x)), atol=1e-5)
+
+
+def test_param_counts_match_reference_table():
+    """Fused param counts vs the published table (upload.py:12-34 / BASELINE.md),
+    within rounding (reference rounds to 0.1M)."""
+    expected = {"recnext_m0": 2.5, "recnext_m1": 5.2, "recnext_a0": 2.8,
+                "recnext_t": 12.1}
+    from recnext_tpu.fusion import fuse_params
+
+    for name, want in expected.items():
+        model = create_model(name)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        n = count_params(fuse_params(variables)["params"])
+        assert abs(n / 1e6 - want) < 0.1, f"{name}: {n/1e6:.2f}M vs {want}M"

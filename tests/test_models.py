@@ -97,6 +97,34 @@ def test_fused_parity(family):
     np.testing.assert_allclose(y_f, y_tf, atol=2e-4, rtol=1e-4)
 
 
+def test_share_channel_parity_eval():
+    """L share-channel variant vs /root/reference/lsnet/model/recattn_share_channel.py:
+    stage-3 share blocks (every 5th) replay the concatenated partial outputs."""
+    cfg = RecNextConfig(name="small_lsc", family="l", embed_dim=(16, 32, 64, 128),
+                        depth=(1, 1, 2, 5), mlp_ratio=(2, 2, 2, 1.5),
+                        num_heads=(1, 1, 1, 2), split_rates=(4, 4, 4, 4),
+                        num_classes=10, share_channel=True)
+    mod = load_ref_module("lsnet/model/recattn_share_channel.py", "ref_recnext_lsc")
+    torch.manual_seed(2)
+    tm = mod.RecNext(embed_dim=cfg.embed_dim, depth=cfg.depth, mlp_ratios=cfg.mlp_ratio,
+                     split_rates=cfg.split_rates, num_classes=cfg.num_classes).eval()
+    _randomize_bn_stats(tm, seed=2)
+
+    variables = torch_to_flax(tm.state_dict())
+    fm = RecNext(cfg=cfg)
+    x_t = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        y_t = tm(x_t).numpy()
+    y_j = np.asarray(fm.apply(variables, jnp.asarray(to_nhwc(x_t))))
+    np.testing.assert_allclose(y_j, y_t, atol=2e-4, rtol=1e-4)
+
+    # fused parity too
+    fm_fused = RecNext(cfg=cfg, fused=True)
+    y_f = np.asarray(fm_fused.apply(fuse_params(variables),
+                                    jnp.asarray(to_nhwc(x_t))))
+    np.testing.assert_allclose(y_f, y_t, atol=2e-4, rtol=1e-4)
+
+
 def test_feature_pyramid_shapes():
     cfg = SMALL["m"]
     fm = RecNext(cfg=cfg)
