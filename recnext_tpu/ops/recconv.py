@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from recnext_tpu.ops.conv import depthwise_conv2d
-from recnext_tpu.ops.resize import resize
+from recnext_tpu.ops.resize import resize, resize_matmul
 
 
 def rec_conv2d(
@@ -29,6 +29,7 @@ def rec_conv2d(
     *,
     level: int,
     mode: str = "bilinear",
+    upsample: str = "gather",  # "gather" (VPU take) or "matmul" (MXU einsum)
 ) -> jnp.ndarray:
     """Apply RecConv2d. x: NHWC; down_w/conv_ws: depthwise HWIO (k,k,1,C).
 
@@ -48,11 +49,12 @@ def rec_conv2d(
         x = depthwise_conv2d(x, down_w, down_b, stride=2, padding=pad)
         features.append((x, size))
 
+    up = resize_matmul if upsample == "matmul" else resize
     acc = None
     for lvl, (f, size) in enumerate(reversed(features)):
         h = f if acc is None else f + acc
         h = depthwise_conv2d(h, conv_ws[lvl], conv_bs[lvl], stride=1, padding=pad)
-        acc = resize(h, size, mode=mode)
+        acc = up(h, size, mode=mode)
 
     out = inp if acc is None else inp + acc
     return depthwise_conv2d(out, conv_ws[level], conv_bs[level], stride=1, padding=pad)
