@@ -15,13 +15,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, warmup=3, iters=20):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def timeit(fn, *args, chain_idx=0, iters=50):
+    """Per-op device time: chain `iters` dependent invocations inside ONE jitted
+    lax.scan (output replaces args[chain_idx]) so remote-dispatch overhead (~2ms/call
+    over the axon tunnel) is amortized away and XLA cannot CSE the iterations."""
+
+    def step(carry, _):
+        a = list(args)
+        a[chain_idx] = carry
+        out = fn(*a)
+        return out.astype(carry.dtype), ()
+
+    @jax.jit
+    def run(x0):
+        final, _ = jax.lax.scan(step, x0, None, length=iters)
+        return jnp.sum(final.astype(jnp.float32))
+
+    float(run(args[chain_idx]))  # warm/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    float(run(args[chain_idx]))
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
@@ -63,7 +75,7 @@ def bench_attention(batch=256, dtype=jnp.bfloat16):
             ("pallas   ", lambda q, k, v: pallas_linear_attention(q, k, v)),
         ]:
             try:
-                ms = timeit(fn, q, k, v)
+                ms = timeit(fn, q, k, v, chain_idx=2)
                 print(f"  n={n} d={d} bh={bh} {name}: {ms:.3f} ms")
             except Exception as e:
                 print(f"  n={n} d={d} bh={bh} {name}: FAILED {type(e).__name__}: {e}")

@@ -158,6 +158,104 @@ def torch_to_flax(state: Mapping[str, Any]) -> Dict[str, Dict]:
     return {"params": params, "batch_stats": stats}
 
 
+_MLLA_STEM = {"conv1": ["conv1"], "conv2.0": ["conv2_0"], "conv2.1": ["conv2_1"],
+              "conv3.0": ["conv3_0"], "conv3.1": ["conv3_1"]}
+
+
+def _map_key_mlla(key: str):
+    """torch MLLA key -> (flax path, collection, transform); None to skip.
+
+    Module naming: recnext_tpu/models/mlla.py (stem/convX, layer{i}_block{j},
+    layer{i}_down, norm, head)."""
+    if key.endswith("num_batches_tracked") or key.endswith("rope.rotations"):
+        return None
+    toks = key.split(".")
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "patch_embed":
+            sub = ".".join(toks[i + 1 : i + 3])
+            if sub in _MLLA_STEM:
+                out += ["stem"] + _MLLA_STEM[sub]
+                i += 3
+            else:
+                out += ["stem", toks[i + 1]]
+                i += 2
+            continue
+        if t == "layers":
+            li = toks[i + 1]
+            if toks[i + 2] == "blocks":
+                out.append(f"layer{li}_block{toks[i + 3]}")
+                i += 4
+            else:  # downsample
+                out.append(f"layer{li}_down")
+                i += 3
+            continue
+        if t == "agg" and i + 2 < len(toks) and toks[i + 1] == "down" and \
+                toks[i + 2] in ("weight", "bias"):
+            # recconv aggregator's shared stride-2 down conv
+            out += ["agg", "down_kernel" if toks[i + 2] == "weight" else "down_bias"]
+            i += 3
+            continue
+        if t == "down" and i + 1 < len(toks) and toks[i + 1] in ("0", "1"):
+            out.append("down" if toks[i + 1] == "0" else "attn")
+            i += 2
+            continue
+        if t == "convs":
+            leaf = toks[i + 2]
+            out.append(f"conv{toks[i + 1]}_{'kernel' if leaf == 'weight' else 'bias'}")
+            i += 3
+            continue
+        if t == "mlp":
+            out.append(f"mlp_{toks[i + 1]}")
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+
+    leaf, parent = out[-1], out[-2] if len(out) >= 2 else ""
+    linear_parents = {"i_proj", "mlp_fc1", "mlp_fc2", "head"}
+    conv_parents = {"cpe1", "cpe2", "o_proj", "qk", "pe", "lepe", "down", "conv"}
+    ln_parents = {"norm1", "norm2", "norm"}
+    if leaf.endswith(("_kernel", "_bias")) and (leaf.startswith("conv") or leaf.startswith("down")):
+        return tuple(out), "params", "conv" if leaf.endswith("_kernel") else "id"
+    if parent == "bn" or (parent == "norm" and ("stem" in out)):
+        # ConvLayer BatchNorm (flax name: "bn")
+        base = out[:-2] + ["bn"]
+        if leaf == "weight":
+            return tuple(base + ["scale"]), "params", "id"
+        if leaf == "bias":
+            return tuple(base + ["bias"]), "params", "id"
+        if leaf == "running_mean":
+            return tuple(base + ["mean"]), "batch_stats", "id"
+        if leaf == "running_var":
+            return tuple(base + ["var"]), "batch_stats", "id"
+    if parent in ln_parents:
+        return tuple(out[:-1] + ["scale" if leaf == "weight" else "bias"]), "params", "id"
+    if parent in conv_parents:
+        return tuple(out[:-1] + ["kernel" if leaf == "weight" else "bias"]), "params", (
+            "conv" if leaf == "weight" else "id")
+    if parent in linear_parents:
+        return tuple(out[:-1] + ["kernel" if leaf == "weight" else "bias"]), "params", (
+            "linear" if leaf == "weight" else "id")
+    raise KeyError(f"unmapped MLLA torch key: {key} -> {'.'.join(out)}")
+
+
+def mlla_torch_to_flax(state: Mapping[str, Any]) -> Dict[str, Dict]:
+    """Convert a reference MLLA state dict (any of the three variants)."""
+    flat = _unwrap(state)
+    params: Dict = {}
+    stats: Dict = {}
+    for k, v in flat.items():
+        mapped = _map_key_mlla(k)
+        if mapped is None:
+            continue
+        path, col, tr = mapped
+        _set(params if col == "params" else stats, path, _transform(v, tr).astype(np.float32))
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Dict]:
     """Load a .pth checkpoint file and convert (CPU-only torch load)."""
     import torch

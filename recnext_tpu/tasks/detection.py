@@ -1,0 +1,164 @@
+"""Detection integration — the counterpart of the reference's mmdetection backbone
+registration (/root/reference/detection/recnext.py:165-285: multi-scale forward,
+classification-checkpoint init, frozen BN, SyncBN) plus a trainable dense head.
+
+The reference plugs RecNext into mmdet's Mask R-CNN as a 4-level feature extractor;
+the detector itself (RPN/RoI heads) is mmdet's. Here the stable integration surface is
+`DetectionBackbone` (features -> FPN P2..P6, frozen-BN, torch/orbax checkpoint init) —
+drop-in for any JAX detection stack — and `RetinaHead`/`RetinaNet` provide a complete
+single-stage detector so detection training runs end-to-end inside this framework.
+Focal-loss + box-regression training utilities included; COCO-style anchor generation
+is standard (scales 8, ratios {0.5,1,2}, strides 8..128).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from recnext_tpu.models.layers import Conv2d
+from recnext_tpu.models.recnext import RecNext, RecNextConfig
+from recnext_tpu.tasks.fpn import FPN
+
+
+class DetectionBackbone(nn.Module):
+    """RecNext features -> FPN P2..P6 with frozen BN (detection/recnext.py:266-272)."""
+
+    backbone_cfg: RecNextConfig
+    fpn_channels: int = 256
+    num_outs: int = 5
+    frozen_backbone_stats: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = RecNext(cfg=self.backbone_cfg,
+                                frozen_stats=self.frozen_backbone_stats,
+                                dtype=self.dtype, name="backbone")
+        self.neck = FPN(out_channels=self.fpn_channels, num_outs=self.num_outs,
+                        dtype=self.dtype, name="neck")
+
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> List[jnp.ndarray]:
+        return self.neck(self.backbone.features(x, training=training))
+
+
+def init_backbone_from_classification(det_variables, cls_variables):
+    """Load classification-checkpoint weights into the detector's backbone subtree,
+    keeping neck/head init — the init_cfg=Pretrained counterpart
+    (detection/recnext.py:234-263, non-strict: head params are ignored)."""
+    out_params = dict(det_variables["params"])
+    bb = dict(cls_variables["params"])
+    bb.pop("head", None)
+    out_params["backbone"] = bb
+    out = {"params": out_params}
+    if "batch_stats" in det_variables:
+        stats = dict(det_variables["batch_stats"])
+        cls_stats = dict(cls_variables.get("batch_stats", {}))
+        cls_stats.pop("head", None)
+        stats["backbone"] = cls_stats
+        out["batch_stats"] = stats
+    return out
+
+
+class RetinaHead(nn.Module):
+    """Shared 4-conv classification and regression towers over every FPN level."""
+
+    num_classes: int = 80
+    num_anchors: int = 9
+    channels: int = 256
+    stacked_convs: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        cls_convs = [Conv2d(self.channels, 3, padding=1, dtype=self.dtype,
+                            name=f"cls_conv{i}") for i in range(self.stacked_convs)]
+        reg_convs = [Conv2d(self.channels, 3, padding=1, dtype=self.dtype,
+                            name=f"reg_conv{i}") for i in range(self.stacked_convs)]
+        cls_out = Conv2d(self.num_anchors * self.num_classes, 3, padding=1,
+                         dtype=self.dtype, name="cls_out")
+        reg_out = Conv2d(self.num_anchors * 4, 3, padding=1, dtype=self.dtype,
+                         name="reg_out")
+        cls_scores, bbox_preds = [], []
+        for f in feats:
+            c = r = f
+            for conv in cls_convs:
+                c = nn.relu(conv(c))
+            for conv in reg_convs:
+                r = nn.relu(conv(r))
+            b, h, w, _ = f.shape
+            cls_scores.append(cls_out(c).reshape(b, h * w * self.num_anchors,
+                                                 self.num_classes))
+            bbox_preds.append(reg_out(r).reshape(b, h * w * self.num_anchors, 4))
+        return jnp.concatenate(cls_scores, axis=1), jnp.concatenate(bbox_preds, axis=1)
+
+
+class RetinaNet(nn.Module):
+    backbone_cfg: RecNextConfig
+    num_classes: int = 80
+    fpn_channels: int = 256
+    frozen_backbone_stats: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.extractor = DetectionBackbone(
+            backbone_cfg=self.backbone_cfg, fpn_channels=self.fpn_channels,
+            frozen_backbone_stats=self.frozen_backbone_stats, dtype=self.dtype,
+            name="extractor")
+        self.head = RetinaHead(num_classes=self.num_classes,
+                               channels=self.fpn_channels, dtype=self.dtype,
+                               name="head")
+
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        return self.head(self.extractor(x, training=training))
+
+
+def focal_loss(logits: jnp.ndarray, targets: jnp.ndarray, valid: jnp.ndarray,
+               alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
+    """Sigmoid focal loss; targets one-hot (A, C) or zeros for background;
+    `valid` masks ignored anchors. Normalized by #positives."""
+    logits = logits.astype(jnp.float32)
+    p = jax.nn.sigmoid(logits)
+    ce = -(targets * jax.nn.log_sigmoid(logits)
+           + (1 - targets) * jax.nn.log_sigmoid(-logits))
+    pt = targets * p + (1 - targets) * (1 - p)
+    a = targets * alpha + (1 - targets) * (1 - alpha)
+    loss = a * (1 - pt) ** gamma * ce
+    loss = jnp.where(valid[..., None], loss, 0.0)
+    n_pos = jnp.maximum(jnp.sum(targets), 1.0)
+    return jnp.sum(loss) / n_pos
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray,
+              beta: float = 1.0 / 9.0) -> jnp.ndarray:
+    d = jnp.abs(pred.astype(jnp.float32) - target)
+    loss = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+    loss = jnp.where(mask[..., None], loss, 0.0)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def generate_anchors(feat_shapes: Sequence[Tuple[int, int]],
+                     strides: Sequence[int] = (8, 16, 32, 64, 128),
+                     scales=(1.0, 2 ** (1 / 3), 2 ** (2 / 3)),
+                     ratios=(0.5, 1.0, 2.0), base_size: int = 4) -> np.ndarray:
+    """(sum_l H_l*W_l*A, 4) xyxy anchors, RetinaNet convention (octave base 4x stride)."""
+    all_anchors = []
+    for (h, w), stride in zip(feat_shapes, strides):
+        base = base_size * stride
+        ws, hs = [], []
+        for r in ratios:
+            for s in scales:
+                ws.append(base * s * np.sqrt(1.0 / r))
+                hs.append(base * s * np.sqrt(r))
+        ws, hs = np.asarray(ws), np.asarray(hs)
+        cx = (np.arange(w) + 0.5) * stride
+        cy = (np.arange(h) + 0.5) * stride
+        cy, cx = np.meshgrid(cy, cx, indexing="ij")
+        centers = np.stack([cx, cy], axis=-1).reshape(-1, 1, 2)
+        sizes = np.stack([ws, hs], axis=-1).reshape(1, -1, 2)
+        boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], axis=-1)
+        all_anchors.append(boxes.reshape(-1, 4))
+    return np.concatenate(all_anchors).astype(np.float32)

@@ -1,0 +1,74 @@
+"""Detection integration tests: backbone+FPN extractor, classification-checkpoint
+init, RetinaNet forward + losses, anchor generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recnext_tpu.models.recnext import RecNext, RecNextConfig
+from recnext_tpu.tasks.detection import (
+    DetectionBackbone,
+    RetinaNet,
+    focal_loss,
+    generate_anchors,
+    init_backbone_from_classification,
+    smooth_l1,
+)
+
+TINY = RecNextConfig(name="tiny", family="m", embed_dim=(8, 16, 32, 64),
+                     depth=(1, 1, 1, 1), mlp_ratio=(2, 2, 2, 2), num_classes=10)
+
+
+def test_detection_backbone_pyramid():
+    m = DetectionBackbone(backbone_cfg=TINY, fpn_channels=32, num_outs=5)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 32), (1, 8, 8, 32), (1, 4, 4, 32), (1, 2, 2, 32), (1, 1, 1, 32)]
+
+
+def test_init_from_classification_checkpoint():
+    cls = RecNext(cfg=TINY)
+    x = jnp.ones((1, 64, 64, 3))
+    cls_vars = cls.init(jax.random.PRNGKey(7), x)
+
+    det = DetectionBackbone(backbone_cfg=TINY, fpn_channels=32)
+    det_vars = det.init(jax.random.PRNGKey(0), x)
+    loaded = init_backbone_from_classification(det_vars, cls_vars)
+
+    # backbone stem weights must equal the classification checkpoint's
+    a = loaded["params"]["backbone"]["stem"]["conv1"]["conv"]["kernel"]
+    b = cls_vars["params"]["stem"]["conv1"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert "head" not in loaded["params"]["backbone"]
+    # and it still runs
+    outs = det.apply(loaded, x)
+    assert len(outs) == 5
+
+
+def test_retinanet_forward_and_losses():
+    m = RetinaNet(backbone_cfg=TINY, num_classes=4, fpn_channels=32)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    cls_scores, bbox_preds = m.apply(variables, x)
+    n_anchors = sum((64 // s) ** 2 * 9 for s in (4, 8, 16, 32, 64))
+    assert cls_scores.shape == (1, n_anchors, 4)
+    assert bbox_preds.shape == (1, n_anchors, 4)
+
+    targets = jnp.zeros_like(cls_scores).at[0, 0, 1].set(1.0)
+    valid = jnp.ones(cls_scores.shape[:2], bool)
+    fl = focal_loss(cls_scores, targets, valid)
+    pos = jnp.zeros(cls_scores.shape[:2], bool).at[0, 0].set(True)
+    sl = smooth_l1(bbox_preds, jnp.ones_like(bbox_preds), pos)
+    assert np.isfinite(float(fl)) and np.isfinite(float(sl))
+
+
+def test_anchor_generation():
+    anchors = generate_anchors([(8, 8), (4, 4)], strides=(8, 16))
+    assert anchors.shape == (8 * 8 * 9 + 4 * 4 * 9, 4)
+    w = anchors[:, 2] - anchors[:, 0]
+    h = anchors[:, 3] - anchors[:, 1]
+    assert (w > 0).all() and (h > 0).all()
+    # ratio-1 scale-1 anchor at stride 8 has side base_size*stride = 32
+    np.testing.assert_allclose(w[3], 32.0, rtol=1e-5)

@@ -57,17 +57,29 @@ def _install_timm_stub():
     def generate_default_cfgs(cfgs):
         return cfgs
 
+    def to_2tuple(x):
+        return x if isinstance(x, (tuple, list)) else (x, x)
+
     layers.trunc_normal_ = trunc_normal_
     layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
     models.register_model = register_model
     models.create_model = create_model
     models.build_model_with_cfg = build_model_with_cfg
     models.generate_default_cfgs = generate_default_cfgs
+    # timm.models.layers (old-style path used by the mlla files)
+    models_layers = types.ModuleType("timm.models.layers")
+    models_layers.DropPath = DropPath
+    models_layers.to_2tuple = to_2tuple
+    models_layers.trunc_normal_ = trunc_normal_
+    models.layers = models_layers
+    models.__path__ = []  # mark as package so 'timm.models.layers' imports resolve
     timm.layers = layers
     timm.models = models
     sys.modules["timm"] = timm
     sys.modules["timm.layers"] = layers
     sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = models_layers
 
 
 def load_ref_module(rel_path: str, name: str):
