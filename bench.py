@@ -16,6 +16,22 @@ import time
 import jax
 import jax.numpy as jnp
 
+def _bench_variables(model_name: str, dtype, **model_kwargs):
+    """Shape-correct fused params without ANY init compile: eval_shape the unfused
+    init (pure tracing), materialize ones on host, run the numpy fusion transform.
+    Values are irrelevant for throughput; compiling init (CPU or TPU) costs minutes."""
+    import numpy as np
+
+    from recnext_tpu.fusion import fuse_params
+    from recnext_tpu.models.registry import create_model
+
+    model = create_model(model_name, dtype=dtype, **model_kwargs)
+    x0 = jnp.zeros((1, 224, 224, 3), dtype)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)
+    variables = jax.tree.map(lambda s: np.ones(s.shape, s.dtype), shapes)
+    return fuse_params(variables)
+
+
 BASELINES = {  # RTX3090 fused img/s, /root/reference/upload.py:12-34
     "recnext_m0": 750, "recnext_m1": 384, "recnext_m2": 325, "recnext_m3": 314,
     "recnext_m4": 169, "recnext_m5": 104,
@@ -28,43 +44,93 @@ BASELINES = {  # RTX3090 fused img/s, /root/reference/upload.py:12-34
 
 
 def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
-               warmup_s: float = 5.0, timed_s: float = 10.0) -> float:
+               warmup_s: float = 5.0, timed_s: float = 10.0, **model_kwargs) -> float:
     from recnext_tpu.fusion import fuse_params
     from recnext_tpu.models.registry import create_model
 
-    model = create_model(model_name, dtype=dtype)
-    x0 = jnp.zeros((1, 224, 224, 3), dtype)
-    variables = model.init(jax.random.PRNGKey(0), x0)
-    fused = create_model(model_name, fused=True, dtype=dtype)
-    fvars = jax.device_put(fuse_params(variables))
+    fused = create_model(model_name, fused=True, dtype=dtype, **model_kwargs)
+    fvars = jax.device_put(_bench_variables(model_name, dtype, **model_kwargs))
 
+    # Chained step: the next input depends on the previous logits, so every
+    # iteration is a distinct computation — defeats any dispatch dedup/caching in
+    # the remote runtime and keeps the device pipeline full (see PERF.md).
     @jax.jit
-    def fwd(v, x):
-        return fused.apply(v, x, training=False)
+    def step(v, x):
+        y = fused.apply(v, x, training=False)
+        return x + (0.0 * jnp.sum(y)).astype(x.dtype)
+
+    def sync(xx):
+        # block_until_ready is unreliable over the axon tunnel (PERF.md); a tiny
+        # scalar fetch is the only trustworthy drain of the dispatch queue.
+        return float(jnp.sum(xx[0, 0, 0]))
 
     x = jnp.ones((batch, 224, 224, 3), dtype)
-    # warmup (includes compile)
+    x = step(fvars, x)
+    sync(x)  # compile + first exec
+    # calibrate with a few synced iterations
     t0 = time.perf_counter()
-    while time.perf_counter() - t0 < warmup_s:
-        jax.block_until_ready(fwd(fvars, x))
-    # timed
-    n = 0
+    ncal = 3
+    for _ in range(ncal):
+        x = step(fvars, x)
+        sync(x)
+    est = (time.perf_counter() - t0) / ncal
+    iters = max(3, min(2000, int(timed_s / max(est, 1e-4))))
+    # timed: enqueue the dependency chain, one final drain
     t0 = time.perf_counter()
-    while (el := time.perf_counter() - t0) < timed_s:
-        jax.block_until_ready(fwd(fvars, x))
-        n += batch
-    return n / (time.perf_counter() - t0)
+    for _ in range(iters):
+        x = step(fvars, x)
+    sync(x)
+    return iters * batch / (time.perf_counter() - t0)
+
+
+def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
+               **model_kwargs) -> float:
+    """Batch-1 p50 latency (the iPhone/Core-ML latency counterpart measurement,
+    /root/reference/README.md:174-176): chained steps, per-iteration scalar drain."""
+    import numpy as np
+
+    from recnext_tpu.models.registry import create_model
+
+    fused = create_model(model_name, fused=True, dtype=dtype, **model_kwargs)
+    fvars = jax.device_put(_bench_variables(model_name, dtype, **model_kwargs))
+
+    @jax.jit
+    def step(v, x):
+        y = fused.apply(v, x, training=False)
+        return x + (0.0 * jnp.sum(y)).astype(x.dtype)
+
+    x = jnp.ones((1, 224, 224, 3), dtype)
+    x = step(fvars, x)
+    float(jnp.sum(x[0, 0, 0]))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        x = step(fvars, x)
+        float(jnp.sum(x[0, 0, 0]))
+        times.append(time.perf_counter() - t0)
+    return float(np.percentile(np.asarray(times) * 1e3, 50))
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="recnext_m1")
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--latency", action="store_true", help="batch-1 p50 latency mode")
     p.add_argument("--timed", type=float, default=10.0)
     p.add_argument("--warmup", type=float, default=5.0)
+    p.add_argument("--upsample", default="matmul", choices=["gather", "matmul"])
     args = p.parse_args()
 
-    ips = throughput(args.model, args.batch, warmup_s=args.warmup, timed_s=args.timed)
+    kw = {}
+    if args.model.startswith("recnext_m"):
+        kw["recconv_upsample"] = args.upsample
+    if args.latency:
+        ms = latency_ms(args.model, **kw)
+        print(json.dumps({"metric": f"{args.model}_fused_bf16_224_batch1_p50",
+                          "value": round(ms, 3), "unit": "ms", "vs_baseline": None}))
+        return
+    ips = throughput(args.model, args.batch, warmup_s=args.warmup,
+                     timed_s=args.timed, **kw)
     base = BASELINES.get(args.model)
     print(json.dumps({
         "metric": f"{args.model}_fused_bf16_224_images_per_sec",

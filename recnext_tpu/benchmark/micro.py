@@ -41,8 +41,8 @@ def bench_recconv(batch=256, dtype=jnp.bfloat16):
     from recnext_tpu.ops.conv import depthwise_conv2d
     from recnext_tpu.ops.recconv import rec_conv2d
 
-    print("== RecConv2d stage shapes (M1 @224) ==")
-    for (h, c, level) in [(56, 48, 4), (28, 96, 3), (14, 192, 2), (7, 384, 1)]:
+    print("== RecConv2d stage shapes (M1 @224) ==", flush=True)
+    for (h, c, level) in [(56, 48, 4), (14, 192, 2)]:
         x = jnp.ones((batch, h, h, c), dtype)
         dw = jnp.ones((5, 5, 1, c), dtype)
         cws = tuple(jnp.ones((5, 5, 1, c), dtype) for _ in range(level + 1))
@@ -51,20 +51,57 @@ def bench_recconv(batch=256, dtype=jnp.bfloat16):
             f = jax.jit(functools.partial(rec_conv2d, level=level, mode="bilinear",
                                           upsample=up))
             ms = timeit(f, x, dw, cws)
-            print(f"  h={h} c={c} level={level} resize={up}: {ms:.3f} ms")
+            print(f"  h={h} c={c} level={level} resize={up}: {ms:.3f} ms", flush=True)
 
         f = jax.jit(lambda x, w: depthwise_conv2d(x, w, stride=1, padding=2))
         ms = timeit(f, x, dw)
-        print(f"  h={h} c={c} single dw5x5: {ms:.3f} ms")
+        print(f"  h={h} c={c} single dw5x5 (conv): {ms:.3f} ms", flush=True)
+
+
+def bench_dwconv(batch=256, dtype=jnp.bfloat16):
+    """conv_general_dilated vs tap-decomposed vs batch->lane folded depthwise."""
+    from recnext_tpu.ops.conv import depthwise_conv2d, depthwise_conv2d_taps
+
+    print("== depthwise 5x5 strategies ==", flush=True)
+    for (h, c, stride) in [(56, 48, 1), (56, 48, 2), (28, 96, 1), (14, 192, 1)]:
+        x = jnp.ones((batch, h, h, c), dtype)
+        dw = jnp.ones((5, 5, 1, c), dtype)
+        roof = 2 * batch * h * h * c * 2 / 819e9 * 1e3  # r+w bf16 ms at HBM peak
+
+        f1 = jax.jit(lambda x, w: depthwise_conv2d(x, w, stride=stride, padding=2))
+        f2 = jax.jit(lambda x, w: depthwise_conv2d_taps(x, w, stride=stride, padding=2))
+        chain = 0 if stride == 1 else None
+        for name, f in [("conv", f1), ("taps", f2)]:
+            if stride == 1:
+                ms = timeit(f, x, dw, chain_idx=0)
+            else:
+                # stride-2 output shape differs; chain via a wrapper that resizes back
+                g = jax.jit(lambda x, w: jnp.repeat(jnp.repeat(
+                    f(x, w), 2, axis=1), 2, axis=2)[:, :h, :h])
+                ms = timeit(g, x, dw, chain_idx=0)
+            print(f"  h={h} c={c} s={stride} {name}: {ms:.3f} ms (roofline {roof:.3f})",
+                  flush=True)
+
+        # batch->lane folding: (B,H,W,C) -> (B/g,H,W,g*C)
+        g_fold = max(1, 128 // c)
+        if g_fold > 1 and batch % g_fold == 0:
+            xf = x.reshape(batch // g_fold, g_fold, h, h, c)
+            xf = jnp.moveaxis(xf, 1, -2).reshape(batch // g_fold, h, h, g_fold * c)
+            dwf = jnp.tile(dw, (1, 1, 1, g_fold))
+            f3 = jax.jit(lambda x, w: depthwise_conv2d(x, w, stride=stride, padding=2))
+            if stride == 1:
+                ms = timeit(f3, xf, dwf, chain_idx=0)
+                print(f"  h={h} c={c} s={stride} conv folded x{g_fold}: {ms:.3f} ms",
+                      flush=True)
 
 
 def bench_attention(batch=256, dtype=jnp.bfloat16):
     from recnext_tpu.ops.attention import linear_attention_kv_first, linear_attention_qk_first
     from recnext_tpu.ops.pallas.linear_attention import pallas_linear_attention
 
-    print("== Linear attention (A-series stage shapes, post stride-2) ==")
-    # (n, d, heads): stage0 28x28 d=20 h=2 ... stage3 4x4 d=20 h=16 (a1 dims)
-    for (n, d, heads) in [(784, 24, 2), (196, 24, 4), (49, 24, 8), (16, 24, 16)]:
+    print("== Linear attention (A-series stage shapes, post stride-2) ==", flush=True)
+    # (n, d, heads): stage0 28x28 d=24 h=2 (a1 dims)
+    for (n, d, heads) in [(784, 24, 2), (49, 24, 8)]:
         bh = batch * heads
         q = jnp.ones((bh, n, d), dtype)
         k = jnp.ones((bh, n, d), dtype)
@@ -76,9 +113,10 @@ def bench_attention(batch=256, dtype=jnp.bfloat16):
         ]:
             try:
                 ms = timeit(fn, q, k, v, chain_idx=2)
-                print(f"  n={n} d={d} bh={bh} {name}: {ms:.3f} ms")
+                print(f"  n={n} d={d} bh={bh} {name}: {ms:.3f} ms", flush=True)
             except Exception as e:
-                print(f"  n={n} d={d} bh={bh} {name}: FAILED {type(e).__name__}: {e}")
+                print(f"  n={n} d={d} bh={bh} {name}: FAILED {type(e).__name__}: {e}",
+                      flush=True)
 
 
 if __name__ == "__main__":

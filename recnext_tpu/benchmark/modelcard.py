@@ -1,0 +1,88 @@
+"""Model-card generation — the counterpart of the reference's HF publishing tooling
+(/root/reference/upload.py:10-100 + model_card_template.md): emits a markdown card per
+variant with architecture config, measured params/MACs, and (optionally) measured TPU
+throughput, alongside the published fused artifact from recnext_tpu.export.
+
+  python -m recnext_tpu.benchmark.modelcard --model recnext_m1 --out cards/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+TEMPLATE = """---
+tags:
+- image-classification
+- recnext-tpu
+library_name: recnext_tpu
+license: apache-2.0
+---
+
+# {name} (TPU-native RecNeXt)
+
+RecNeXt backbone ({family_long}) re-built TPU-first in JAX/Flax. Paper:
+*RecConv: Efficient Recursive Convolutions for Multi-Frequency Representations*
+(arXiv 2412.19628).
+
+## Architecture
+
+| field | value |
+|---|---|
+| family | {family} |
+| embed_dim | {embed_dim} |
+| depth | {depth} |
+| mlp_ratio | {mlp_ratio} |
+| params (fused) | {params_m:.2f} M |
+| MACs @224 (fused) | {macs_g:.3f} G |
+{extra_rows}
+
+## Usage
+
+```python
+from recnext_tpu.models.registry import create_model
+from recnext_tpu.export import load_published
+
+model = create_model("{name}", fused=True)
+variables = load_published("{name}", "published/")
+logits = model.apply(variables, images_nhwc, training=False)
+```
+"""
+
+FAMILY_LONG = {"m": "RecConv token mixer", "a": "RecAttn linear-attention mixer",
+               "l": "LSNet-style partial-channel mixer"}
+
+
+def make_card(model_name: str, throughput: float | None = None) -> str:
+    from recnext_tpu.benchmark.flops import model_flops
+    from recnext_tpu.models.registry import get_config
+
+    cfg = get_config(model_name)
+    n_params, macs = model_flops(model_name, 224, fused=True)
+    extra = ""
+    if throughput:
+        extra = f"| TPU v5e throughput (fused bf16 @224) | {throughput:.0f} img/s |\n"
+    return TEMPLATE.format(
+        name=model_name, family=cfg.family, family_long=FAMILY_LONG[cfg.family],
+        embed_dim=cfg.embed_dim, depth=cfg.depth, mlp_ratio=cfg.mlp_ratio,
+        params_m=n_params / 1e6, macs_g=macs / 1e9, extra_rows=extra,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True)
+    p.add_argument("--out", default="cards")
+    p.add_argument("--throughput", type=float, default=None)
+    args = p.parse_args(argv)
+    card = make_card(args.model, args.throughput)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / f"{args.model}.md"
+    path.write_text(card)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,48 @@ class CIFAR100:
         return Image.fromarray(self.data[i]), int(self.labels[i])
 
 
+class INatDataset:
+    """iNaturalist 2018/2019 JSON-annotation dataset with category targeting
+    (reference INatDataset, /root/reference/data/datasets.py:20-61): images listed in
+    train{year}.json / val{year}.json, labels re-mapped through categories.json to the
+    chosen taxonomic rank (kingdom/phylum/.../name)."""
+
+    def __init__(self, root: str, train: bool = True, year: int = 2018,
+                 category: str = "name"):
+        import json
+
+        self.root = Path(root)
+        anno = self.root / (f"train{year}.json" if train else f"val{year}.json")
+        with open(anno) as f:
+            data = json.load(f)
+        with open(self.root / "categories.json") as f:
+            categories = json.load(f)
+
+        targets = sorted({c[category] for c in categories})
+        self.target_to_idx = {t: i for i, t in enumerate(targets)}
+        self.nb_classes = len(targets)
+        cat_by_id = {c["id"]: c for c in categories}
+
+        ann_by_image = {a["image_id"]: a["category_id"] for a in data["annotations"]}
+        self.samples = []
+        for img in data["images"]:
+            cat_id = ann_by_image[img["id"]]
+            label = self.target_to_idx[cat_by_id[cat_id][category]]
+            self.samples.append((self.root / img["file_name"], label))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+
+        path, label = self.samples[i]
+        with open(path, "rb") as f:
+            img = Image.open(io.BytesIO(f.read()))
+            img.load()
+        return img, label
+
+
 class FakeData:
     """Deterministic synthetic images — shape-correct training without a dataset."""
 
@@ -102,4 +144,8 @@ def build_dataset(is_train: bool, data_set: str, data_path: str,
     if data_set == "FAKE":
         ds = FakeData(n=2048 if is_train else 512, size=input_size)
         return ds, 1000
+    if data_set in ("INAT", "INAT19"):
+        year = 2018 if data_set == "INAT" else 2019
+        ds = INatDataset(data_path, train=is_train, year=year)
+        return ds, ds.nb_classes
     raise ValueError(f"unknown data_set {data_set!r}")

@@ -89,8 +89,59 @@ def eval_loader(
     rank: int = 0,
     num_replicas: int = 1,
     prefetch: int = 2,
+    native: bool = False,
 ):
     indices = distributed_eval_indices(len(dataset), rank, num_replicas)
+    if native:
+        from recnext_tpu.data import native as native_io
+
+        if native_io.available() and hasattr(dataset, "samples"):
+            size = getattr(transform, "size", 224)
+            crop_pct = getattr(transform, "crop_pct", 224 / 256)
+            factory = lambda: _native_eval_batches(dataset, indices, batch_size,
+                                                   size, crop_pct)
+            return Prefetcher(factory, depth=prefetch)
     factory = lambda: _batches(dataset, transform, indices, batch_size,
                                seed=(0,), drop_last=False)
     return Prefetcher(factory, depth=prefetch)
+
+
+def _native_eval_batches(dataset, indices, batch_size, size, crop_pct):
+    """Fast path: raw JPEG bytes -> native C++ decode + center-crop + resize +
+    normalize (recnext_tpu/data/native.py). Uses bilinear (not bicubic) resampling —
+    a fast-path approximation; the PIL path stays reference-exact."""
+    import numpy as np
+
+    from recnext_tpu.data import native as native_io
+
+    for start in range(0, len(indices), batch_size):
+        idx = indices[start : start + batch_size]
+        blobs, labels, crops = [], [], []
+        for i in idx:
+            path, label = dataset.samples[int(i)]
+            with open(path, "rb") as f:
+                blob = f.read()
+            blobs.append(blob)
+            labels.append(label)
+            crops.append([-1, -1, -2, -2, 0])  # placeholder, fixed below per image
+        # compute center-crop boxes from decoded sizes cheaply: decode headers via
+        # native decode of each image is done in C++; we pass the crop as a fraction
+        # sentinel (-3) is not supported, so decode dims via PIL header-only read.
+        from PIL import Image
+        import io as _io
+
+        for j, blob in enumerate(blobs):
+            with Image.open(_io.BytesIO(blob)) as im:
+                w, h = im.size
+            side = int(min(w, h) * crop_pct)
+            crops[j] = [(w - side) // 2, (h - side) // 2, side, side, 0]
+        out = native_io.batch_decode_crop(blobs, np.asarray(crops, np.int32), size,
+                                          n_threads=4)
+        if out is None:  # fallback mid-stream (corrupt file): PIL per-sample
+            from recnext_tpu.data.transforms import EvalTransform
+
+            t = EvalTransform(size, crop_pct)
+            out = np.stack([
+                t(None, Image.open(_io.BytesIO(b)).convert("RGB")) for b in blobs
+            ]).astype(np.float32)
+        yield {"image": out, "label": np.asarray(labels, np.int32)}

@@ -37,6 +37,7 @@ class RecConv2dMixer(nn.Module):
     kernel_size: int = 5
     use_bias: bool = False
     mode: str = "bilinear"
+    upsample: str = "gather"  # "gather" (VPU) or "matmul" (MXU einsum)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -66,6 +67,7 @@ class RecConv2dMixer(nn.Module):
             conv_bs,
             level=self.level,
             mode=self.mode,
+            upsample=self.upsample,
         )
 
 
@@ -108,11 +110,14 @@ class LinearAttention(nn.Module):
     num_heads: int
     variant: int = 1
     use_bias: bool = False  # ConvNorm conv bias (True on the L series)
+    kernel: str = "elu"  # feature map: elu | softplus | relu (lsnet refinement)
     fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        from recnext_tpu.ops.attention import feature_map
+
         b, h, w, c = x.shape
         kw = dict(use_bias=self.use_bias, fused=self.fused, dtype=self.dtype)
         if self.variant == 3:
@@ -125,7 +130,7 @@ class LinearAttention(nn.Module):
             qk_conv = ConvNorm(c * 2, 1, groups=2, name="qk", **kw)
         pe_conv = ConvNorm(c, 3, padding=1, groups=c, name="pe", **kw)
 
-        qk = jax.nn.elu(qk_conv(x, training=training)) + 1.0
+        qk = feature_map(qk_conv(x, training=training), self.kernel)
         q, k = _split_qk_nhwc(qk, num_heads, head_dim)
         v = _split_v_nhwc(x, num_heads)
         if self.variant == 1:

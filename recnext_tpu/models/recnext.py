@@ -65,6 +65,10 @@ class RecNextConfig:
     drop_rate: float = 0.0
     in_chans: int = 3
     share_channel: bool = False  # L share-channel variant
+    # RecConv bilinear upsample implementation: "matmul" rides the (otherwise idle)
+    # MXU via two small einsums and is ~23% faster end-to-end on v5e than the
+    # VPU-gather form (PERF.md); both compute the identical PyTorch-exact function.
+    recconv_upsample: str = "matmul"
 
     @property
     def num_features(self) -> int:
@@ -123,6 +127,7 @@ class MetaNeXtBlockM(nn.Module):
     mlp_ratio: float
     stage: int
     drop_path: float = 0.0
+    upsample: str = "gather"
     fused: bool = False
     dtype: Dtype = jnp.float32
 
@@ -130,7 +135,7 @@ class MetaNeXtBlockM(nn.Module):
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         c = x.shape[-1]
         y = RecConv2dMixer(level=4 - self.stage, kernel_size=5, dtype=self.dtype,
-                           name="token_mixer")(x)
+                           upsample=self.upsample, name="token_mixer")(x)
         if self.fused:
             y = FusedAffine(name="norm")(y)
         else:
@@ -361,6 +366,7 @@ class RecNext(nn.Module):
                 name = f"stage{i}_block{j}"
                 if cfg.family == "m":
                     blocks.append(MetaNeXtBlockM(ratio, stage=i, drop_path=rates[i][j],
+                                                 upsample=cfg.recconv_upsample,
                                                  fused=self.fused, dtype=self.dtype,
                                                  name=name))
                 elif cfg.family == "a":

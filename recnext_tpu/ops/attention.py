@@ -46,3 +46,32 @@ def linear_attention_qk_first(
     out = jnp.einsum("bnm,bme->bne", (a * s).astype(v.dtype), v * s,
                      preferred_element_type=jnp.float32)
     return out.astype(v.dtype)
+
+
+def feature_map(x: jnp.ndarray, kind: str = "elu") -> jnp.ndarray:
+    """Positive feature maps for linear attention. The reference's kernel ablation
+    ("Promising refinement", /root/reference/lsnet/README.md; profile variants
+    /root/reference/lsnet/model/profile.py:9-17): elu(x)+1, softplus(beta=3.5), relu."""
+    import jax
+
+    if kind == "elu":
+        return jax.nn.elu(x) + 1.0
+    if kind == "softplus":
+        beta = 3.5
+        return jax.nn.softplus(x * beta) / beta
+    if kind == "relu":
+        return jax.nn.relu(x)
+    raise ValueError(f"unknown feature map {kind!r}")
+
+
+def softmax_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Scaled-dot-product baseline (the reference's `Attention` comparison class,
+    /root/reference/lsnet/model/profile.py:9-17). q,k: (B,n,d); v: (B,n,dv)."""
+    import jax
+
+    d = q.shape[-1]
+    a = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
+    a = jax.nn.softmax(a / (float(d) ** 0.5), axis=-1)
+    out = jnp.einsum("bnm,bme->bne", a.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)

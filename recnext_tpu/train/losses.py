@@ -34,6 +34,19 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return label_smoothing_cross_entropy(logits, labels, smoothing=0.0)
 
 
+def binary_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
+                         target_thresh: float = 0.0) -> jnp.ndarray:
+    """timm BinaryCrossEntropy counterpart (moganet --bce-loss path,
+    /root/reference/moganet_train.py): sigmoid BCE against soft targets, with
+    optional target thresholding (--bce-target-thresh)."""
+    t = targets.astype(jnp.float32)
+    if target_thresh > 0:
+        t = (t >= target_thresh).astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    per = jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(jnp.sum(per, axis=-1) / logits.shape[-1])
+
+
 def distillation_loss(
     outputs,
     targets: jnp.ndarray,

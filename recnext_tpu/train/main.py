@@ -29,7 +29,14 @@ import numpy as np
 
 
 def parse_args(argv=None):
-    p = argparse.ArgumentParser("RecNext TPU training")
+    """Two-stage parser: an optional --config YAML provides defaults, CLI overrides —
+    the timm-style config system of the alternate trainer
+    (/root/reference/moganet_train.py:78-347)."""
+    cfg_parser = argparse.ArgumentParser(add_help=False)
+    cfg_parser.add_argument("--config", default="", help="YAML config with arg defaults")
+    cfg_args, remaining = cfg_parser.parse_known_args(argv)
+
+    p = argparse.ArgumentParser("RecNext TPU training", parents=[cfg_parser])
     p.add_argument("--model", default="recnext_m1")
     p.add_argument("--batch-size", type=int, default=256, help="global batch")
     p.add_argument("--epochs", type=int, default=300)
@@ -74,7 +81,17 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=0,
                    help="truncate each epoch (smoke tests); 0 = full epoch")
     p.add_argument("--log-every", type=int, default=100)
-    return p.parse_args(argv)
+    if cfg_args.config:
+        import yaml
+
+        with open(cfg_args.config) as f:
+            defaults = yaml.safe_load(f) or {}
+        known = {a.dest for a in p._actions}
+        unknown = set(defaults) - known
+        if unknown:
+            raise SystemExit(f"unknown config keys: {sorted(unknown)}")
+        p.set_defaults(**defaults)
+    return p.parse_args(remaining if argv is None else remaining)
 
 
 def main(argv=None):
@@ -102,6 +119,11 @@ def main(argv=None):
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     is_main = jax.process_index() == 0
+    if is_main:  # args.yaml dump (moganet_train.py:683-684 counterpart)
+        import yaml
+
+        (out_dir / "args.yaml").write_text(
+            yaml.safe_dump({k: v for k, v in vars(args).items()}))
 
     def log(msg):
         if is_main:
@@ -249,6 +271,13 @@ def main(argv=None):
         if is_main:
             with open(out_dir / "log.txt", "a") as f:
                 f.write(json.dumps(stats) + "\n")
+            # summary.csv (timm update_summary counterpart, moganet_train.py:717-720)
+            csv_path = out_dir / "summary.csv"
+            header = not csv_path.exists()
+            with open(csv_path, "a") as f:
+                if header:
+                    f.write(",".join(stats.keys()) + "\n")
+                f.write(",".join(str(v) for v in stats.values()) + "\n")
         mgr.save(epoch, args=ocp.args.StandardSave(jax.device_get(state)),
                  metrics={"acc1": acc1})
         mgr.wait_until_finished()

@@ -1,0 +1,127 @@
+"""Standalone validation CLI — the moganet_valid.py counterpart
+(/root/reference/moganet_valid.py:130-368): evaluate any checkpoint (orbax train
+state, published fused msgpack, or reference .pth) on a dataset, with crop-pct
+control and CSV results output. Also covers fuse_eval.py's role (fused-parity eval,
+/root/reference/fuse_eval.py:33-55) via --fused.
+
+  python -m recnext_tpu.validate --model recnext_m0 --checkpoint pub_dir --fused \
+      --data-set IMNET --data-path /data/imagenet --crop-pct 0.9
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("RecNext TPU validation")
+    p.add_argument("--model", required=True)
+    p.add_argument("--checkpoint", default="", help="orbax dir / published dir / .pth")
+    p.add_argument("--fused", action="store_true", help="evaluate the BN-fused model")
+    p.add_argument("--ema", action="store_true", help="evaluate the EMA weights")
+    p.add_argument("--data-set", default="IMNET", choices=["IMNET", "CIFAR", "FOLDER", "FAKE"])
+    p.add_argument("--data-path", default="")
+    p.add_argument("--input-size", type=int, default=224)
+    p.add_argument("--crop-pct", type=float, default=224 / 256)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
+    p.add_argument("--results-file", default="", help="append a CSV row here")
+    p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--native-loader", action="store_true",
+                   help="C++ decode+resize fast path (bilinear, ImageFolder only)")
+    return p.parse_args(argv)
+
+
+def load_variables(args, model, fused_model):
+    from recnext_tpu.fusion import fuse_params
+
+    ckpt = args.checkpoint
+    x0 = jnp.zeros((1, args.input_size, args.input_size, 3), jnp.float32)
+    if not ckpt:
+        variables = model.init(jax.random.PRNGKey(0), x0)
+        return (fuse_params(variables) if args.fused else variables)
+    if ckpt.endswith((".pth", ".pt")):
+        from recnext_tpu.convert import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(ckpt)
+        return fuse_params(variables) if args.fused else variables
+    p = Path(ckpt)
+    if (p / f"{args.model}_fused.msgpack").exists() or p.suffix == ".msgpack":
+        from recnext_tpu.export import load_published
+
+        assert args.fused, "published artifacts are fused; pass --fused"
+        return load_published(args.model, str(p))
+    # orbax train-state checkpoint
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(p.resolve())
+    key = "ema_params" if args.ema else "params"
+    variables = {"params": restored[key],
+                 "batch_stats": restored["ema_batch_stats" if args.ema else "batch_stats"]}
+    return fuse_params(variables) if args.fused else variables
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    from recnext_tpu.data.datasets import build_dataset
+    from recnext_tpu.data.loader import eval_loader
+    from recnext_tpu.data.transforms import EvalTransform
+    from recnext_tpu.models.registry import create_model
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    ds, nb_classes = build_dataset(False, args.data_set, args.data_path, args.input_size)
+    model = create_model(args.model, num_classes=nb_classes, dtype=dtype)
+    fused_model = create_model(args.model, num_classes=nb_classes, fused=True, dtype=dtype)
+    variables = load_variables(args, model, fused_model)
+    net = fused_model if args.fused else model
+
+    @jax.jit
+    def fwd(x):
+        return net.apply(variables, x, training=False)
+
+    c1 = c5 = n = 0
+    t0 = time.time()
+    loader = eval_loader(ds, EvalTransform(args.input_size, args.crop_pct),
+                         batch_size=args.batch_size, native=args.native_loader)
+    for i, batch in enumerate(iter(loader)):
+        if args.max_batches and i >= args.max_batches:
+            break
+        logits = np.asarray(fwd(jnp.asarray(batch["image"], dtype)))
+        top5 = np.argsort(logits, axis=-1)[:, -5:]
+        labels = batch["label"]
+        c1 += int((top5[:, -1] == labels).sum())
+        c5 += int((top5 == labels[:, None]).any(axis=-1).sum())
+        n += len(labels)
+    dt = time.time() - t0
+    result = {"model": args.model, "top1": round(100 * c1 / max(n, 1), 3),
+              "top5": round(100 * c5 / max(n, 1), 3), "img_size": args.input_size,
+              "crop_pct": args.crop_pct, "count": n,
+              "images_per_sec": round(n / max(dt, 1e-9), 1),
+              "fused": args.fused, "ema": args.ema}
+    print(json.dumps(result))
+    if args.results_file:
+        exists = Path(args.results_file).exists()
+        with open(args.results_file, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(result.keys()))
+            if not exists:
+                w.writeheader()
+            w.writerow(result)
+    return result
+
+
+if __name__ == "__main__":
+    main()
