@@ -1,18 +1,28 @@
-"""recnext_tpu — a TPU-native JAX/Flax/Pallas framework with the capabilities of RecNeXt.
+"""recnext_tpu — TPU-native RecNeXt framework (models, ops, training, export).
 
-Built from scratch for TPU: NHWC layouts, XLA-fusable functional ops, Pallas kernels
-for the hot paths (fused RecConv pyramid, linear attention), pjit/shard_map data
-parallelism over a device mesh, grain input pipeline, orbax checkpointing.
-
-Reference capability map: /root/reference (suous/RecNeXt) — see SURVEY.md.
+Public API:
+    create_model, list_models          model registry (timm-style names)
+    fuse_params                        BN fusion as a pure parameter transform
+    torch_to_flax, load_torch_checkpoint   reference-checkpoint import
+    publish_fused, load_published, export_stablehlo   publishing/export
 """
 
 __version__ = "0.1.0"
 
+from recnext_tpu.models.registry import create_model, get_config, list_models  # noqa: F401
 
-def __getattr__(name):
-    if name in ("create_model", "list_models", "get_config"):
-        from recnext_tpu.models import registry
 
-        return getattr(registry, name)
+def __getattr__(name):  # lazy heavy imports
+    if name == "fuse_params":
+        from recnext_tpu.fusion import fuse_params
+
+        return fuse_params
+    if name in ("torch_to_flax", "load_torch_checkpoint", "mlla_torch_to_flax"):
+        import recnext_tpu.convert as m
+
+        return getattr(m, name)
+    if name in ("publish_fused", "load_published", "export_stablehlo"):
+        import recnext_tpu.export as m
+
+        return getattr(m, name)
     raise AttributeError(name)

@@ -1,0 +1,115 @@
+"""Box utilities for detection training/inference: IoU, anchor-target assignment,
+delta box coding, decoding, and NMS — the pieces mmdet supplies around the reference's
+backbone (/root/reference/detection/configs/_base_/models/mask_rcnn_r50_fpn.py:
+MaxIoUAssigner pos_iou_thr 0.5 / neg_iou_thr 0.4, DeltaXYWHBBoxCoder, nms 0.5).
+
+All functions are jnp and fixed-shape so they run inside jit on TPU; padding with
+invalid boxes (all -1) is used instead of dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IoU matrix between (N,4) and (M,4) xyxy boxes."""
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def encode_boxes(anchors: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """DeltaXYWH encoding: (dx, dy, dw, dh) of gt relative to anchors."""
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax = anchors[:, 0] + aw / 2
+    ay = anchors[:, 1] + ah / 2
+    gw = jnp.maximum(gt[:, 2] - gt[:, 0], 1e-6)
+    gh = jnp.maximum(gt[:, 3] - gt[:, 1], 1e-6)
+    gx = gt[:, 0] + gw / 2
+    gy = gt[:, 1] + gh / 2
+    return jnp.stack([(gx - ax) / aw, (gy - ay) / ah,
+                      jnp.log(gw / aw), jnp.log(gh / ah)], axis=-1)
+
+
+def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray,
+                 max_wh: float = 4096.0) -> jnp.ndarray:
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    ax = anchors[:, 0] + aw / 2
+    ay = anchors[:, 1] + ah / 2
+    cx = deltas[:, 0] * aw + ax
+    cy = deltas[:, 1] * ah + ay
+    w = jnp.exp(jnp.clip(deltas[:, 2], -10, jnp.log(max_wh))) * aw
+    h = jnp.exp(jnp.clip(deltas[:, 3], -10, jnp.log(max_wh))) * ah
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+
+def assign_anchors(
+    anchors: jnp.ndarray,      # (A, 4)
+    gt_boxes: jnp.ndarray,     # (G, 4), padded rows = all -1
+    gt_labels: jnp.ndarray,    # (G,), padded = -1
+    *,
+    pos_iou: float = 0.5,
+    neg_iou: float = 0.4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MaxIoU assignment. Returns (matched_gt_idx, labels, pos_mask, valid_mask):
+    labels = class id for positives, -1 otherwise; valid excludes the ignore band
+    between neg_iou and pos_iou; each valid gt's best anchor is forced positive."""
+    gt_valid = gt_labels >= 0
+    iou = box_iou(anchors, gt_boxes) * gt_valid[None, :]
+    best_gt = jnp.argmax(iou, axis=1)
+    best_iou = jnp.max(iou, axis=1)
+
+    pos = best_iou >= pos_iou
+    neg = best_iou < neg_iou
+    valid = pos | neg
+
+    # force-match: the argmax anchor of each gt becomes positive for that gt
+    best_anchor = jnp.argmax(iou, axis=0)  # (G,)
+    force = jnp.zeros(anchors.shape[0], bool)
+    force = force.at[best_anchor].set(gt_valid, mode="drop")
+    forced_gt = jnp.zeros(anchors.shape[0], jnp.int32)
+    forced_gt = forced_gt.at[best_anchor].set(
+        jnp.arange(gt_boxes.shape[0], dtype=jnp.int32), mode="drop")
+    best_gt = jnp.where(force, forced_gt, best_gt)
+    pos = pos | force
+    valid = valid | force
+
+    labels = jnp.where(pos, gt_labels[best_gt], -1)
+    return best_gt, labels, pos, valid
+
+
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, *, iou_thresh: float = 0.5,
+        max_out: int = 100) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-shape greedy NMS under jit: returns (indices, keep_mask) of max_out
+    selections; unused slots have keep_mask False."""
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    iou = box_iou(boxes_s, boxes_s)
+
+    def body(i, suppressed):
+        sup_i = suppressed[i]
+        kill = (iou[i] > iou_thresh) & (jnp.arange(n) > i) & jnp.logical_not(sup_i)
+        return jnp.where(kill, True, suppressed)
+
+    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros(n, bool))
+    keep = jnp.logical_not(suppressed) & (scores_s > 0)
+    # compact the first max_out kept entries
+    rank = jnp.cumsum(keep) - 1
+    out_idx = jnp.full((max_out,), -1, jnp.int32)
+    out_idx = out_idx.at[jnp.where(keep, rank, max_out)].set(
+        order.astype(jnp.int32), mode="drop")
+    mask = out_idx >= 0
+    return jnp.where(mask, out_idx, 0), mask

@@ -140,6 +140,47 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray,
     return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def make_detection_train_step(model: RetinaNet, tx, anchors: jnp.ndarray,
+                              num_classes: int):
+    """Jittable RetinaNet train step: per-image MaxIoU anchor assignment, focal loss
+    on classes, smooth-L1 on box deltas (the role mmdet's runner+assigner play around
+    the reference backbone). batch = {image (B,H,W,3), gt_boxes (B,G,4) padded -1,
+    gt_labels (B,G) padded -1}."""
+    import optax
+
+    from recnext_tpu.tasks.boxes import assign_anchors, encode_boxes
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            training=True, mutable=["batch_stats"])
+        cls_scores, bbox_preds = outputs
+
+        def per_image(scores, preds, gtb, gtl):
+            idx, labels, pos, valid = assign_anchors(anchors, gtb, gtl)
+            targets = jax.nn.one_hot(jnp.where(labels >= 0, labels, 0), num_classes)
+            targets = targets * (labels >= 0)[:, None]
+            cls = focal_loss(scores, targets, valid)
+            deltas = encode_boxes(anchors, gtb[idx])
+            box = smooth_l1(preds, deltas, pos)
+            return cls + box
+
+        losses = jax.vmap(per_image)(cls_scores, bbox_preds,
+                                     batch["gt_boxes"], batch["gt_labels"])
+        return jnp.mean(losses), mut["batch_stats"]
+
+    def train_step(state, batch):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats, opt_state=new_opt)
+        return state, {"loss": loss}
+
+    return train_step
+
+
 def generate_anchors(feat_shapes: Sequence[Tuple[int, int]],
                      strides: Sequence[int] = (8, 16, 32, 64, 128),
                      scales=(1.0, 2 ** (1 / 3), 2 ** (2 / 3)),

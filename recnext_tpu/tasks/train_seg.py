@@ -1,0 +1,137 @@
+"""Semantic-segmentation training CLI — the counterpart of the reference's mmseg
+harness (/root/reference/segmentation/tools/train.py + Semantic FPN configs:
+AdamW lr 1e-4 wd 0.05, poly lr power 0.9 min 1e-6, 40k iters, eval mIoU every 8k,
+frozen-BN backbone init from a classification checkpoint).
+
+Smoke: python -m recnext_tpu.tasks.train_seg --backbone recnext_m3 --data-set FAKE \
+    --iters 20 --eval-every 10 --crop 128 --batch-size 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def poly_schedule(base_lr: float, total_iters: int, power: float = 0.9,
+                  min_lr: float = 1e-6):
+    def sched(step):
+        t = jnp.clip(step / total_iters, 0.0, 1.0)
+        return (base_lr - min_lr) * (1.0 - t) ** power + min_lr
+
+    return sched
+
+
+def synthetic_seg_batch(rng: np.random.Generator, batch: int, crop: int,
+                        num_classes: int):
+    """Blobby synthetic images+masks for smoke training."""
+    img = rng.normal(size=(batch, crop, crop, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0:crop, 0:crop]
+    masks = []
+    for _ in range(batch):
+        cx, cy = rng.integers(0, crop, 2)
+        r = rng.integers(crop // 8, crop // 2)
+        cls = int(rng.integers(1, num_classes))
+        m = np.zeros((crop, crop), np.int32)
+        m[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = cls
+        masks.append(m)
+    return {"image": img, "label": np.stack(masks)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("Semantic FPN training")
+    p.add_argument("--backbone", default="recnext_m3")
+    p.add_argument("--num-classes", type=int, default=150)
+    p.add_argument("--iters", type=int, default=40000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--crop", type=int, default=512)
+    p.add_argument("--eval-every", type=int, default=8000)
+    p.add_argument("--data-set", default="FAKE", choices=["FAKE"])
+    p.add_argument("--init-ckpt", default="", help="classification ckpt (.pth/orbax)")
+    p.add_argument("--output-dir", default="runs/seg")
+    p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
+    args = p.parse_args(argv)
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    import optax
+
+    from recnext_tpu.models.registry import get_config
+    from recnext_tpu.tasks.segmentation import SemanticFPN, miou, segmentation_loss
+    from recnext_tpu.train.state import TrainState
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg = get_config(args.backbone, num_classes=0)
+    model = SemanticFPN(backbone_cfg=cfg, num_classes=args.num_classes, dtype=dtype)
+    x0 = jnp.zeros((1, args.crop, args.crop, 3), dtype)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    if args.init_ckpt:
+        from recnext_tpu.convert import load_torch_checkpoint
+        from recnext_tpu.tasks.detection import init_backbone_from_classification
+
+        cls_vars = load_torch_checkpoint(args.init_ckpt)
+        variables = init_backbone_from_classification(variables, cls_vars)
+
+    tx = optax.adamw(poly_schedule(args.lr, args.iters), weight_decay=args.weight_decay)
+    state = TrainState.create(variables, tx, ema=False)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        logits, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            training=True, mutable=["batch_stats"],
+            rngs={"dropout": rng, "droppath": rng})
+        return segmentation_loss(logits, batch["label"]), mut["batch_stats"]
+
+    @jax.jit
+    def train_step(state, batch, rng):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             batch_stats=new_stats, opt_state=new_opt), loss
+
+    @jax.jit
+    def eval_step(state, batch):
+        logits = model.apply(state.variables(), batch["image"], training=False)
+        return miou(logits, batch["label"], args.num_classes)
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng_np = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for it in range(args.iters):
+        batch = synthetic_seg_batch(rng_np, args.batch_size, args.crop, args.num_classes)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, loss = train_step(state, batch, jax.random.fold_in(key, it))
+        if (it + 1) % args.eval_every == 0 or it + 1 == args.iters:
+            inter, union = eval_step(state, batch)
+            inter, union = np.asarray(inter), np.asarray(union)
+            seen = union > 0
+            m = float(np.mean(inter[seen] / union[seen])) if seen.any() else 0.0
+            rec = {"iter": it + 1, "loss": float(loss), "mIoU": round(100 * m, 2),
+                   "elapsed_s": round(time.time() - t0, 1)}
+            print(json.dumps(rec), flush=True)
+            with open(out / "log.txt", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            if not np.isfinite(float(loss)):
+                raise SystemExit(f"Loss is {float(loss)}, stopping")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -242,6 +242,8 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         loader = train_loader(train_ds, tt, batch_size=args.batch_size, epoch=epoch,
+                              rank=jax.process_index(),
+                              num_replicas=jax.process_count(),
                               repeated_aug=not args.no_repeated_aug, seed=args.seed)
         losses, seen = [], 0
         for i, batch in enumerate(iter(loader)):

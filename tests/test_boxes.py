@@ -1,0 +1,63 @@
+"""Box utilities: IoU, coding round-trip, anchor assignment, fixed-shape NMS."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from recnext_tpu.tasks.boxes import (
+    assign_anchors,
+    box_iou,
+    decode_boxes,
+    encode_boxes,
+    nms,
+)
+
+
+def test_iou_basic():
+    a = jnp.asarray([[0, 0, 10, 10], [0, 0, 5, 5]], jnp.float32)
+    b = jnp.asarray([[0, 0, 10, 10], [5, 5, 15, 15]], jnp.float32)
+    iou = np.asarray(box_iou(a, b))
+    assert iou[0, 0] == 1.0
+    np.testing.assert_allclose(iou[0, 1], 25 / 175, rtol=1e-5)
+    assert iou[1, 1] == 0.0
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.default_rng(0)
+    anchors = np.stack([rng.uniform(0, 50, 20), rng.uniform(0, 50, 20)], -1)
+    anchors = np.concatenate([anchors, anchors + rng.uniform(5, 30, (20, 2))], -1)
+    gt = anchors + rng.normal(0, 3, anchors.shape)
+    gt[:, 2:] = np.maximum(gt[:, 2:], gt[:, :2] + 1)
+    deltas = encode_boxes(jnp.asarray(anchors, jnp.float32), jnp.asarray(gt, jnp.float32))
+    back = np.asarray(decode_boxes(jnp.asarray(anchors, jnp.float32), deltas))
+    np.testing.assert_allclose(back, gt, atol=1e-3)
+
+
+def test_assignment():
+    anchors = jnp.asarray([[0, 0, 10, 10], [20, 20, 30, 30], [100, 100, 110, 110],
+                           [0, 0, 9, 11]], jnp.float32)
+    gt = jnp.asarray([[0, 0, 10, 10], [19, 19, 31, 31], [-1, -1, -1, -1]], jnp.float32)
+    labels = jnp.asarray([3, 7, -1], jnp.int32)
+    idx, lab, pos, valid = assign_anchors(anchors, gt, labels)
+    assert bool(pos[0]) and int(lab[0]) == 3
+    assert bool(pos[1]) and int(lab[1]) == 7
+    assert not bool(pos[2]) and int(lab[2]) == -1 and bool(valid[2])  # clean negative
+    # padded gt never matches
+    assert int(idx[2]) in (0, 1, 2)
+
+
+def test_nms():
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7], jnp.float32)
+    idx, mask = nms(boxes, scores, iou_thresh=0.5, max_out=3)
+    kept = set(np.asarray(idx)[np.asarray(mask)].tolist())
+    assert kept == {0, 2}  # box 1 suppressed by box 0
+
+
+def test_nms_jittable():
+    import jax
+
+    boxes = jnp.asarray(np.random.default_rng(0).uniform(0, 100, (32, 2)))
+    boxes = jnp.concatenate([boxes, boxes + 10], axis=-1).astype(jnp.float32)
+    scores = jnp.asarray(np.random.default_rng(1).uniform(0.1, 1, 32).astype(np.float32))
+    idx, mask = jax.jit(lambda b, s: nms(b, s, max_out=8))(boxes, scores)
+    assert idx.shape == (8,) and mask.shape == (8,)
