@@ -1,0 +1,46 @@
+"""Sweep fused-inference throughput over the model zoo and write a results table —
+the counterpart of the reference's per-model throughput records
+(/root/reference/upload.py:12-34, measured by speed_gpu.py).
+
+  python -m recnext_tpu.benchmark.bench_all --models recnext_m0 recnext_m1 \
+      --out bench_results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def main(argv=None):
+    import bench as bench_mod  # repo-root bench.py
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", nargs="+", default=["recnext_m0", "recnext_m1"])
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--timed", type=float, default=6.0)
+    p.add_argument("--latency", action="store_true", help="also batch-1 p50")
+    p.add_argument("--out", default="bench_results.json")
+    args = p.parse_args(argv)
+
+    rows = []
+    for name in args.models:
+        kw = {"recconv_upsample": "matmul"} if name.startswith("recnext_m") else {}
+        ips = bench_mod.throughput(name, args.batch, timed_s=args.timed, **kw)
+        row = {"model": name, "images_per_sec": round(ips, 1),
+               "batch": args.batch}
+        base = bench_mod.BASELINES.get(name)
+        if base:
+            row["rtx3090_baseline"] = base
+            row["vs_baseline"] = round(ips / base, 3)
+        if args.latency:
+            row["batch1_p50_ms"] = round(bench_mod.latency_ms(name, **kw), 3)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    Path(args.out).write_text(json.dumps(rows, indent=2))
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -181,6 +181,23 @@ def make_detection_train_step(model: RetinaNet, tx, anchors: jnp.ndarray,
     return train_step
 
 
+def retinanet_postprocess(cls_scores: jnp.ndarray, bbox_preds: jnp.ndarray,
+                          anchors: jnp.ndarray, *, score_thresh: float = 0.05,
+                          iou_thresh: float = 0.5, max_det: int = 100):
+    """Single-image inference decode: sigmoid scores -> class-agnostic NMS over the
+    best class per anchor (fixed-shape, jittable). Returns (boxes (max_det,4),
+    scores, labels, valid_mask)."""
+    from recnext_tpu.tasks.boxes import decode_boxes, nms
+
+    probs = jax.nn.sigmoid(cls_scores.astype(jnp.float32))  # (A, C)
+    best_score = jnp.max(probs, axis=-1)
+    best_label = jnp.argmax(probs, axis=-1)
+    boxes = decode_boxes(anchors, bbox_preds.astype(jnp.float32))
+    score = jnp.where(best_score >= score_thresh, best_score, 0.0)
+    idx, mask = nms(boxes, score, iou_thresh=iou_thresh, max_out=max_det)
+    return boxes[idx], best_score[idx] * mask, best_label[idx], mask
+
+
 def generate_anchors(feat_shapes: Sequence[Tuple[int, int]],
                      strides: Sequence[int] = (8, 16, 32, 64, 128),
                      scales=(1.0, 2 ** (1 / 3), 2 ** (2 / 3)),

@@ -64,6 +64,21 @@ def test_retinanet_forward_and_losses():
     assert np.isfinite(float(fl)) and np.isfinite(float(sl))
 
 
+def test_retinanet_postprocess():
+    from recnext_tpu.tasks.detection import retinanet_postprocess
+
+    anchors = jnp.asarray([[0, 0, 10, 10], [20, 20, 30, 30], [1, 1, 11, 11]],
+                          jnp.float32)
+    cls = jnp.full((3, 4), -10.0).at[0, 2].set(5.0).at[1, 1].set(4.0).at[2, 2].set(4.5)
+    deltas = jnp.zeros((3, 4), jnp.float32)
+    boxes, scores, labels, mask = retinanet_postprocess(cls, deltas, anchors,
+                                                        max_det=5)
+    kept = np.asarray(mask)
+    assert kept.sum() == 2  # anchor 2 suppressed by overlapping anchor 0
+    assert int(labels[0]) == 2 and int(labels[1]) == 1
+    np.testing.assert_allclose(np.asarray(boxes[0]), [0, 0, 10, 10], atol=1e-4)
+
+
 def test_anchor_generation():
     anchors = generate_anchors([(8, 8), (4, 4)], strides=(8, 16))
     assert anchors.shape == (8 * 8 * 9 + 4 * 4 * 9, 4)
