@@ -158,6 +158,111 @@ def torch_to_flax(state: Mapping[str, Any]) -> Dict[str, Dict]:
     return {"params": params, "batch_stats": stats}
 
 
+def torch_fused_to_flax(state: Mapping[str, Any], family: str = "m") -> Dict[str, Dict]:
+    """Convert a torch-side BN-fused checkpoint (the published `*_fused.pt` layout
+    produced by /root/reference/publish.py:28-42 — ConvNorm/NormLinear/RepVGGDW
+    replaced by plain Conv2d/Linear, standalone BatchNorms kept) into the params of
+    our fused=True model (ConvNorm -> conv/kernel+bias, standalone BN ->
+    FusedAffine scale/shift, single averaged classifier head)."""
+    flat = _unwrap(state)
+    params: Dict = {}
+    eps = 1e-5
+
+    def rewrite(key: str) -> list[str]:
+        toks = key.split(".")
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t == "stem" and i + 1 < len(toks) and toks[i + 1] == "stem":
+                out += ["stem", _STEM[toks[i + 2]]]
+                i += 3
+                continue
+            if t == "stages":
+                idx = toks[i + 1]
+                if toks[i + 2] == "downsample":
+                    out.append(f"downsample_{idx}")
+                    i += 3
+                else:
+                    out.append(f"stage{idx}_block{toks[i + 3]}")
+                    i += 4
+                continue
+            if t == "channel_mixer":
+                out += ["channel_mixer", {"0": "fc1", "2": "fc2"}[toks[i + 1]]]
+                i += 2
+                continue
+            if t == "down" and i + 1 < len(toks) and toks[i + 1] in ("0", "1"):
+                out.append("down" if toks[i + 1] == "0" else "attn")
+                i += 2
+                continue
+            if (t == "token_mixer" and i + 2 < len(toks) and toks[i + 1] == "down"
+                    and toks[i + 2] in ("weight", "bias")):
+                # M-series RecConv2d shared stride-2 down conv
+                out += ["token_mixer",
+                        "down_kernel" if toks[i + 2] == "weight" else "down_bias"]
+                i += 3
+                continue
+            if t == "token_mixer" and i + 1 < len(toks) and toks[i + 1] == "attn":
+                out.append("attn")
+                i += 2
+                continue
+            if t == "convs":
+                leaf = toks[i + 2]
+                out.append(f"conv{toks[i + 1]}_{'kernel' if leaf == 'weight' else 'bias'}")
+                i += 3
+                continue
+            out.append(t)
+            i += 1
+        return out
+
+    # standalone BN -> FusedAffine
+    bn_prefixes = {k[: -len(".running_mean")] for k in flat if k.endswith(".running_mean")}
+    for p in bn_prefixes:
+        w = flat[f"{p}.weight"]
+        b = flat[f"{p}.bias"]
+        mean = flat[f"{p}.running_mean"]
+        var = flat[f"{p}.running_var"]
+        scale = w / np.sqrt(var + eps)
+        path = rewrite(p)
+        _set(params, tuple(path + ["scale"]), scale.astype(np.float32))
+        _set(params, tuple(path + ["shift"]), (b - scale * mean).astype(np.float32))
+
+    handled = {f"{p}.{s}" for p in bn_prefixes
+               for s in ("weight", "bias", "running_mean", "running_var",
+                         "num_batches_tracked")}
+    for k, v in flat.items():
+        if k in handled or k.endswith("num_batches_tracked"):
+            continue
+        out = rewrite(k)
+        leaf = out[-1]
+        if leaf.endswith(("_kernel", "_bias")):  # RecConv params
+            tr = "conv" if leaf.endswith("_kernel") else "id"
+            _set(params, tuple(out), _transform(v, tr).astype(np.float32))
+            continue
+        if out[0] == "head" and leaf in ("weight", "bias"):
+            # fused classifier: single Linear under head/head/linear
+            name = "kernel" if leaf == "weight" else "bias"
+            tr = "linear" if leaf == "weight" else "id"
+            _set(params, ("head", "head", "linear", name),
+                 _transform(v, tr).astype(np.float32))
+            continue
+        # M/A Downsample token_mixer is a raw Conv2d in both models (no inner "conv")
+        raw_conv = (family in ("m", "a") and len(out) >= 2
+                    and out[-2] == "token_mixer" and out[0].startswith("downsample"))
+        if leaf == "weight" and v.ndim == 4:
+            dest = ["kernel"] if raw_conv else ["conv", "kernel"]
+            _set(params, tuple(out[:-1] + dest), _transform(v, "conv").astype(np.float32))
+            continue
+        if leaf == "bias":
+            sib = flat.get(k[: -len("bias")] + "weight")
+            if sib is not None and sib.ndim == 4:
+                dest = ["bias"] if raw_conv else ["conv", "bias"]
+                _set(params, tuple(out[:-1] + dest), v.astype(np.float32))
+                continue
+        raise KeyError(f"unmapped fused torch key: {k}")
+    return {"params": params}
+
+
 _MLLA_STEM = {"conv1": ["conv1"], "conv2.0": ["conv2_0"], "conv2.1": ["conv2_1"],
               "conv3.0": ["conv3_0"], "conv3.1": ["conv3_1"]}
 

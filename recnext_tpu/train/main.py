@@ -78,6 +78,10 @@ def parse_args(argv=None):
     # system
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient accumulation steps (optax.MultiSteps)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in backprop (jax.checkpoint)")
     p.add_argument("--steps-per-epoch", type=int, default=0,
                    help="truncate each epoch (smoke tests); 0 = full epoch")
     p.add_argument("--log-every", type=int, default=100)
@@ -149,7 +153,8 @@ def main(argv=None):
     lr = scaled_lr(args.lr, args.batch_size)
     sched = cosine_schedule(lr, steps_per_epoch, args.epochs, args.warmup_epochs,
                             args.cooldown_epochs, args.warmup_lr, args.min_lr)
-    tx = make_optimizer(sched, args.weight_decay, args.clip_grad)
+    tx = make_optimizer(sched, args.weight_decay, args.clip_grad,
+                        grad_accum=args.grad_accum)
     state = TrainState.create(variables, tx, ema=not args.no_model_ema)
 
     teacher_apply = None
@@ -173,7 +178,7 @@ def main(argv=None):
         distillation=args.distillation_type, alpha=args.distillation_alpha,
         tau=args.distillation_tau, mixup=args.mixup > 0,
         mixup_kwargs=dict(mixup_alpha=args.mixup or 0.8, cutmix_alpha=args.cutmix or 1.0),
-        smoothing=args.smoothing, ema_decay=args.model_ema_decay,
+        smoothing=args.smoothing, ema_decay=args.model_ema_decay, remat=args.remat,
     )
     eval_step = make_eval_step(model, ema=args.eval_ema)
 

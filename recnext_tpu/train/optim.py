@@ -60,8 +60,11 @@ def make_optimizer(
     weight_decay: float = 0.025,
     agc_clip: float = 0.02,
     betas=(0.9, 0.999),
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
-    """AGC clip -> AdamW (wd only on >=2-D params), per the reference recipe."""
+    """AGC clip -> AdamW (wd only on >=2-D params), per the reference recipe.
+    grad_accum > 1 wraps in optax.MultiSteps (the DistOptimizerHook update_interval
+    counterpart, /root/reference/detection/mmcv_custom/runner/optimizer.py:1-29)."""
 
     def adamw(wd):
         return optax.adamw(learning_rate, b1=betas[0], b2=betas[1], weight_decay=wd)
@@ -72,4 +75,6 @@ def make_optimizer(
     )
     if agc_clip and agc_clip > 0:
         opt = optax.chain(optax.adaptive_grad_clip(agc_clip), opt)
+    if grad_accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_accum)
     return opt

@@ -34,6 +34,7 @@ def make_train_step(
     mixup_kwargs: Optional[dict] = None,
     smoothing: float = 0.1,
     ema_decay: float = 0.99996,
+    remat: bool = False,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -42,14 +43,24 @@ def make_train_step(
     """
     mk = dict(num_classes=num_classes, smoothing=smoothing, **(mixup_kwargs or {}))
 
-    def loss_fn(params, batch_stats, x, targets, teacher_logits, rngs):
-        outputs, mut = model.apply(
+    def apply_model(params, batch_stats, x, rngs):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             x,
             training=True,
             mutable=["batch_stats"],
             rngs=rngs,
         )
+
+    if remat:
+        # trade FLOPs for HBM: recompute the forward during backprop, keeping only
+        # MXU outputs (jax.checkpoint dots_saveable policy)
+        apply_model = jax.checkpoint(
+            apply_model, policy=jax.checkpoint_policies.dots_saveable,
+            static_argnums=())
+
+    def loss_fn(params, batch_stats, x, targets, teacher_logits, rngs):
+        outputs, mut = apply_model(params, batch_stats, x, rngs)
         base = L.soft_target_cross_entropy if targets.ndim == 2 else (
             functools.partial(L.label_smoothing_cross_entropy, smoothing=smoothing)
         )

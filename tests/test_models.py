@@ -125,6 +125,27 @@ def test_share_channel_parity_eval():
     np.testing.assert_allclose(y_f, y_t, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("family", ["m", "a", "l"])
+def test_torch_fused_checkpoint_import(family):
+    """Import a torch-side-fused state dict (the published *_fused.pt layout) into
+    our fused model and match the torch fused outputs."""
+    from recnext_tpu.convert import torch_fused_to_flax
+
+    cfg = SMALL[family]
+    torch.manual_seed(3)
+    tm = _torch_model(family, cfg).eval()
+    _randomize_bn_stats(tm, seed=3)
+    tm.fuse()  # in-place module surgery -> published fused layout
+
+    variables = torch_fused_to_flax(tm.state_dict(), family=family)
+    fm_fused = RecNext(cfg=cfg, fused=True)
+    x_t = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        y_t = tm(x_t).numpy()
+    y_j = np.asarray(fm_fused.apply(variables, jnp.asarray(to_nhwc(x_t))))
+    np.testing.assert_allclose(y_j, y_t, atol=2e-4, rtol=1e-4)
+
+
 def test_feature_pyramid_shapes():
     cfg = SMALL["m"]
     fm = RecNext(cfg=cfg)

@@ -157,6 +157,27 @@ def test_data_parallel_matches_single_device():
     np.testing.assert_allclose(results[0], results[1], rtol=2e-4)
 
 
+def test_grad_accum_and_remat():
+    """MultiSteps: params only move every k micro-steps; remat step stays correct."""
+    model = RecNext(cfg=TINY)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    tx = make_optimizer(1e-2, grad_accum=2)
+    state = TrainState.create(variables, tx, ema=False)
+    teacher = lambda xb: model.apply(variables, xb, training=False)
+    step = jax.jit(make_train_step(model, tx, num_classes=8, teacher_apply=teacher,
+                                   distillation="hard", mixup=False, remat=True))
+    batch = {"image": jnp.ones((4, 32, 32, 3)), "label": jnp.zeros((4,), jnp.int32)}
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    state, m1 = step(state, batch, jax.random.PRNGKey(0))
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))  # accumulating
+    state, m2 = step(state, batch, jax.random.PRNGKey(0))
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))  # applied at k=2
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_eval_step_counts():
     model = RecNext(cfg=TINY)
     x0 = jnp.zeros((1, 32, 32, 3))
