@@ -111,11 +111,55 @@ def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
     return float(np.percentile(np.asarray(times) * 1e3, 50))
 
 
+def train_throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
+                     timed_s: float = 6.0, **model_kwargs) -> float:
+    """Full training-step throughput (fwd+bwd+AdamW+EMA+mixup) on one chip."""
+    import numpy as np
+
+    from recnext_tpu.models.registry import create_model
+    from recnext_tpu.train.optim import cosine_schedule, make_optimizer
+    from recnext_tpu.train.state import TrainState
+    from recnext_tpu.train.step import make_train_step
+
+    model = create_model(model_name, dtype=dtype, **model_kwargs)
+    x0 = jnp.zeros((1, 224, 224, 3), dtype)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)
+    variables = jax.tree.map(lambda s: (np.ones(s.shape, s.dtype) * 0.01), shapes)
+    tx = make_optimizer(cosine_schedule(1e-3, 1000))
+    state = jax.device_put(TrainState.create(variables, tx))
+    step = jax.jit(make_train_step(model, tx, num_classes=1000, mixup=True),
+                   donate_argnums=(0,))
+
+    batch_data = {
+        "image": jax.device_put(jnp.ones((batch, 224, 224, 3), dtype)),
+        "label": jax.device_put(jnp.zeros((batch,), jnp.int32)),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    def sync(st):
+        return float(jnp.sum(st.params["stem"]["conv1"]["conv"]["kernel"][0, 0, 0]))
+
+    state, _ = step(state, batch_data, rng)
+    sync(state)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        state, _ = step(state, batch_data, rng)
+        sync(state)
+    est = (time.perf_counter() - t0) / 2
+    iters = max(3, min(500, int(timed_s / max(est, 1e-4))))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _ = step(state, batch_data, rng)
+    sync(state)
+    return iters * batch / (time.perf_counter() - t0)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="recnext_m1")
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--latency", action="store_true", help="batch-1 p50 latency mode")
+    p.add_argument("--train", action="store_true", help="training-step throughput mode")
     p.add_argument("--timed", type=float, default=10.0)
     p.add_argument("--warmup", type=float, default=5.0)
     p.add_argument("--upsample", default="matmul", choices=["gather", "matmul"])
@@ -128,6 +172,12 @@ def main():
         ms = latency_ms(args.model, **kw)
         print(json.dumps({"metric": f"{args.model}_fused_bf16_224_batch1_p50",
                           "value": round(ms, 3), "unit": "ms", "vs_baseline": None}))
+        return
+    if args.train:
+        ips = train_throughput(args.model, args.batch, timed_s=args.timed, **kw)
+        print(json.dumps({"metric": f"{args.model}_train_bf16_224_images_per_sec",
+                          "value": round(ips, 2), "unit": "images/sec",
+                          "vs_baseline": None}))
         return
     ips = throughput(args.model, args.batch, warmup_s=args.warmup,
                      timed_s=args.timed, **kw)

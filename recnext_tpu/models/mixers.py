@@ -1,4 +1,4 @@
-"""Token mixers: RecConv2d, LinearAttention 1/2/3, RecAttn2d, PartialChannel wrapper.
+"""Token mixers: RecConv2d, LinearAttention 1/2/3, RecAttn2d.
 
 Flax counterparts of the reference mixers:
 * RecConv2d          — /root/reference/model/recnext.py:8-34
@@ -170,17 +170,6 @@ class RecAttn2d(nn.Module):
         )
 
 
-class PartialChannel(nn.Module):
-    """Apply `inner` to the first 1/split_rate of channels, passthrough the rest.
-    Reference: /root/reference/lsnet/model/recattn.py:226-237."""
-
-    inner: nn.Module
-    split_rate: int = 4
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
-        c = x.shape[-1]
-        assert c % self.split_rate == 0
-        split = c // self.split_rate
-        x1 = self.inner(x[..., :split], training=training)
-        return jnp.concatenate([x1, x[..., split:]], axis=-1)
+# NOTE: PartialChannelOperation (lsnet/model/recattn.py:226-237) is inlined in
+# MetaNeXtBlockL (models/recnext.py) so the inner attention's params bind at block
+# scope, matching the torch key layout token_mixer.attn.* -> attn.*.

@@ -40,7 +40,6 @@ from recnext_tpu.models.layers import (
 )
 from recnext_tpu.models.mixers import (
     LinearAttention,
-    PartialChannel,
     RecAttn2d,
     RecConv2dMixer,
 )
