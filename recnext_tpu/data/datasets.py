@@ -128,7 +128,7 @@ class FakeData:
 
 
 def build_dataset(is_train: bool, data_set: str, data_path: str,
-                  input_size: int = 224) -> Tuple[object, int]:
+                  input_size: int = 224, fake_classes: int = 1000) -> Tuple[object, int]:
     """(dataset, nb_classes) — reference data/datasets.py:64-99 counterpart."""
     if data_set == "CIFAR":
         ds = CIFAR100(data_path, train=is_train)
@@ -142,8 +142,9 @@ def build_dataset(is_train: bool, data_set: str, data_path: str,
         ds = ImageFolder(str(root))
         return ds, ds.nb_classes
     if data_set == "FAKE":
-        ds = FakeData(n=2048 if is_train else 512, size=input_size)
-        return ds, 1000
+        ds = FakeData(n=2048 if is_train else 512, size=input_size,
+                      nb_classes=fake_classes)
+        return ds, fake_classes
     if data_set in ("INAT", "INAT19"):
         year = 2018 if data_set == "INAT" else 2019
         ds = INatDataset(data_path, train=is_train, year=year)

@@ -235,6 +235,20 @@ class TrainTransform:
 
 
 @dataclasses.dataclass
+class SimpleTrainTransform:
+    """RRC + flip + normalize only — smoke/memorization runs and ablations."""
+
+    size: int = 224
+
+    def __call__(self, rng: np.random.Generator, img: Image.Image) -> np.ndarray:
+        img = img.convert("RGB")
+        img = random_resized_crop(rng, img, self.size, scale=(0.6, 1.0))
+        if rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return normalize(img).astype(np.float32)
+
+
+@dataclasses.dataclass
 class EvalTransform:
     size: int = 224
     crop_pct: float = 224 / 256

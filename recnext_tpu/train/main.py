@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
     p.add_argument("--ThreeAugment", action="store_true")
+    p.add_argument("--simple-aug", action="store_true",
+                   help="RRC+flip+normalize only (no RA/jitter/erasing)")
+    p.add_argument("--fake-classes", type=int, default=1000)
     p.add_argument("--aa-magnitude", type=float, default=9.0)
     p.add_argument("--color-jitter", type=float, default=0.4)
     p.add_argument("--reprob", type=float, default=0.25)
@@ -113,7 +116,11 @@ def main(argv=None):
 
     from recnext_tpu.data.datasets import build_dataset
     from recnext_tpu.data.loader import eval_loader, train_loader
-    from recnext_tpu.data.transforms import EvalTransform, TrainTransform
+    from recnext_tpu.data.transforms import (
+        EvalTransform,
+        SimpleTrainTransform,
+        TrainTransform,
+    )
     from recnext_tpu.models.registry import create_model
     from recnext_tpu.parallel import batch_sharding, make_mesh, replicated, state_sharding
     from recnext_tpu.train.optim import cosine_schedule, make_optimizer, scaled_lr
@@ -138,8 +145,10 @@ def main(argv=None):
     n_dev = mesh.devices.size
     log(f"mesh: {mesh.shape}, devices: {n_dev}, processes: {jax.process_count()}")
 
-    train_ds, nb_classes = build_dataset(True, args.data_set, args.data_path, args.input_size)
-    val_ds, _ = build_dataset(False, args.data_set, args.data_path, args.input_size)
+    train_ds, nb_classes = build_dataset(True, args.data_set, args.data_path,
+                                         args.input_size, args.fake_classes)
+    val_ds, _ = build_dataset(False, args.data_set, args.data_path,
+                              args.input_size, args.fake_classes)
 
     distill = args.distillation_type != "none"
     model = create_model(args.model, num_classes=nb_classes,
@@ -241,9 +250,12 @@ def main(argv=None):
 
     key = jax.device_put(jax.random.PRNGKey(args.seed), r_sh)
     max_acc = 0.0
-    tt = TrainTransform(args.input_size, three_augment=args.ThreeAugment,
-                        ra_magnitude=args.aa_magnitude, jitter=args.color_jitter,
-                        reprob=args.reprob)
+    if args.simple_aug:
+        tt = SimpleTrainTransform(args.input_size)
+    else:
+        tt = TrainTransform(args.input_size, three_augment=args.ThreeAugment,
+                            ra_magnitude=args.aa_magnitude, jitter=args.color_jitter,
+                            reprob=args.reprob)
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         loader = train_loader(train_ds, tt, batch_size=args.batch_size, epoch=epoch,

@@ -178,6 +178,22 @@ def test_grad_accum_and_remat():
     assert np.isfinite(float(m2["loss"]))
 
 
+def test_sharded_inference_matches_single_device():
+    from recnext_tpu.parallel.serving import make_sharded_inference
+
+    model = RecNext(cfg=TINY)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    want = np.asarray(model.apply(variables, x, training=False))
+
+    for fsdp, fsdp_params in [(1, False), (2, True)]:
+        mesh = make_mesh(8, fsdp=fsdp)
+        infer = make_sharded_inference(model, variables, mesh, fsdp_params=fsdp_params)
+        with mesh:
+            got = np.asarray(infer(x))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_eval_step_counts():
     model = RecNext(cfg=TINY)
     x0 = jnp.zeros((1, 32, 32, 3))
