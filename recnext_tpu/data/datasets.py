@@ -111,7 +111,9 @@ class INatDataset:
 
 
 class FakeData:
-    """Deterministic synthetic images — shape-correct training without a dataset."""
+    """Deterministic synthetic images with a class-dependent signal (class color +
+    noise) — learnable end-to-end, so smoke training shows accuracy actually rising
+    (the role dist_train_cifar.sh plays for the reference, SURVEY.md §4.4)."""
 
     def __init__(self, n: int = 1024, size: int = 224, nb_classes: int = 1000):
         self.n, self.size, self.nb_classes = n, size, nb_classes
@@ -122,9 +124,12 @@ class FakeData:
     def __getitem__(self, i: int):
         from PIL import Image
 
+        label = int(i % self.nb_classes)
         g = np.random.default_rng(i)
-        arr = g.integers(0, 256, size=(self.size, self.size, 3), dtype=np.uint8)
-        return Image.fromarray(arr, "RGB"), int(i % self.nb_classes)
+        color = np.random.default_rng(label).integers(40, 216, size=3)
+        noise = g.integers(-40, 41, size=(self.size, self.size, 3))
+        arr = np.clip(color[None, None] + noise, 0, 255).astype(np.uint8)
+        return Image.fromarray(arr, "RGB"), label
 
 
 def build_dataset(is_train: bool, data_set: str, data_path: str,

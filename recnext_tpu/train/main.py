@@ -88,6 +88,8 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=0,
                    help="truncate each epoch (smoke tests); 0 = full epoch")
     p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--wandb", action="store_true",
+                   help="log to wandb if installed (reference main.py:192-200)")
     if cfg_args.config:
         import yaml
 
@@ -135,6 +137,14 @@ def main(argv=None):
 
         (out_dir / "args.yaml").write_text(
             yaml.safe_dump({k: v for k, v in vars(args).items()}))
+    wandb_run = None
+    if args.wandb and is_main:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project="recnext_tpu", config=vars(args))
+        except Exception:
+            log("wandb requested but unavailable; continuing without it")
 
     def log(msg):
         if is_main:
@@ -154,7 +164,9 @@ def main(argv=None):
     model = create_model(args.model, num_classes=nb_classes,
                          distillation=distill, dtype=dtype)
     x0 = jnp.zeros((1, args.input_size, args.input_size, 3), dtype)
-    variables = model.init(jax.random.PRNGKey(args.seed), x0)
+    # jit the init: un-jitted init over the remote-TPU tunnel is thousands of ~2ms
+    # dispatches (minutes); one compiled program instead (PERF.md)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0)
     n_parameters = sum(int(p.size) for p in jax.tree.leaves(variables["params"]))
     log(f"model {args.model}: {n_parameters/1e6:.2f}M params, {nb_classes} classes")
 
@@ -177,7 +189,7 @@ def main(argv=None):
             elif args.teacher_ckpt:
                 tvars = ocp.StandardCheckpointer().restore(args.teacher_ckpt)
             else:
-                tvars = teacher.init(jax.random.PRNGKey(1), x0)
+                tvars = jax.jit(teacher.init)(jax.random.PRNGKey(1), x0)
             teacher_apply = lambda xb: teacher.apply(tvars, xb, training=False)
         else:
             raise SystemExit("--distillation-type requires --teacher-model")
@@ -231,8 +243,10 @@ def main(argv=None):
                 break
             if batch["image"].shape[0] % n_dev != 0:  # pad ragged tail
                 pad = n_dev - batch["image"].shape[0] % n_dev
+                pad_img = np.zeros((pad,) + batch["image"].shape[1:],
+                                   batch["image"].dtype)
                 batch = {
-                    "image": np.concatenate([batch["image"], batch["image"][:pad]]),
+                    "image": np.concatenate([batch["image"], pad_img]),
                     "label": np.concatenate([batch["label"], np.full((pad,), -1, np.int32)]),
                 }
             m = jitted_eval(state, {k: jax.device_put(v, b_sh) for k, v in batch.items()})
@@ -287,6 +301,8 @@ def main(argv=None):
                  "epoch_time_s": round(time.time() - t0, 1),
                  "images_per_sec": round(seen / max(time.time() - t0, 1e-9), 1)}
         log(json.dumps(stats))
+        if wandb_run is not None:
+            wandb_run.log(stats, step=epoch)
         if is_main:
             with open(out_dir / "log.txt", "a") as f:
                 f.write(json.dumps(stats) + "\n")
