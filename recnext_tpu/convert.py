@@ -17,7 +17,6 @@ Accepts checkpoints wrapped as {'model': ...} / {'state_dict': ...} and strips
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np

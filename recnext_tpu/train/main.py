@@ -88,6 +88,9 @@ def parse_args(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=0,
                    help="truncate each epoch (smoke tests); 0 = full epoch")
     p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--ckpt-every-steps", type=int, default=0,
+                   help="mid-epoch recovery checkpoint interval "
+                        "(moganet save_recovery counterpart); 0 = off")
     p.add_argument("--wandb", action="store_true",
                    help="log to wandb if installed (reference main.py:192-200)")
     if cfg_args.config:
@@ -289,6 +292,16 @@ def main(argv=None):
                 log(f"epoch {epoch} step {i+1}: loss {loss:.4f}")
             losses.append(metrics["loss"])
             seen += args.batch_size
+            if args.ckpt_every_steps and (i + 1) % args.ckpt_every_steps == 0:
+                rec = out_dir.resolve() / "recovery"
+                ckptr = ocp.StandardCheckpointer()
+                if rec.exists():
+                    import shutil
+
+                    shutil.rmtree(rec)
+                ckptr.save(rec, jax.device_get(state))
+                ckptr.wait_until_finished()
+                log(f"recovery checkpoint at epoch {epoch} step {i+1}")
         train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
         if not np.isfinite(train_loss):
             raise SystemExit(f"Loss is {train_loss}, stopping training")

@@ -47,6 +47,38 @@ def test_validate_cli_fake_data(tmp_path):
     assert (tmp_path / "results.csv").exists()
 
 
+def test_validate_orbax_checkpoint_path(tmp_path):
+    """validate.py --checkpoint <orbax step dir> restores a saved TrainState."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from recnext_tpu.models.registry import create_model
+    from recnext_tpu.train.optim import make_optimizer
+    from recnext_tpu.train.state import TrainState
+    from recnext_tpu.validate import main as validate_main
+
+    model = create_model("recnext_m0", num_classes=1000)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    state = TrainState.create(variables, make_optimizer(1e-3))
+    path = tmp_path / "ckpt"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path.resolve(), jax.device_get(state))
+    ckptr.wait_until_finished()  # StandardCheckpointer saves asynchronously
+
+    res = validate_main([
+        "--model", "recnext_m0", "--checkpoint", str(path), "--data-set", "FAKE",
+        "--input-size", "64", "--batch-size", "8", "--max-batches", "1",
+    ])
+    assert res["count"] == 8
+    # EMA variant restores too
+    res = validate_main([
+        "--model", "recnext_m0", "--checkpoint", str(path), "--ema",
+        "--data-set", "FAKE", "--input-size", "64", "--batch-size", "8",
+        "--max-batches", "1",
+    ])
+    assert res["ema"] is True
+
+
 def test_modelcard(tmp_path):
     from recnext_tpu.benchmark.modelcard import make_card
 
