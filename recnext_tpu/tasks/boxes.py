@@ -28,9 +28,12 @@ def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def encode_boxes(anchors: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
-    """DeltaXYWH encoding: (dx, dy, dw, dh) of gt relative to anchors."""
-    aw = anchors[:, 2] - anchors[:, 0]
-    ah = anchors[:, 3] - anchors[:, 1]
+    """DeltaXYWH encoding: (dx, dy, dw, dh) of gt relative to anchors. Degenerate
+    anchors (zero extent, e.g. fully-clipped proposals) are clamped so the encoding
+    stays finite — callers mask such rows out of the loss, but an inf here would
+    still poison gradients through jnp.where."""
+    aw = jnp.maximum(anchors[:, 2] - anchors[:, 0], 1e-3)
+    ah = jnp.maximum(anchors[:, 3] - anchors[:, 1], 1e-3)
     ax = anchors[:, 0] + aw / 2
     ay = anchors[:, 1] + ah / 2
     gw = jnp.maximum(gt[:, 2] - gt[:, 0], 1e-6)

@@ -162,6 +162,7 @@ def make_detection_train_step(model: RetinaNet, tx, anchors: jnp.ndarray,
             targets = targets * (labels >= 0)[:, None]
             cls = focal_loss(scores, targets, valid)
             deltas = encode_boxes(anchors, gtb[idx])
+            deltas = jnp.where(pos[:, None], deltas, 0.0)  # finite grads on masked rows
             box = smooth_l1(preds, deltas, pos)
             return cls + box
 

@@ -1,0 +1,189 @@
+"""Mask R-CNN-style two-stage detector — the in-framework counterpart of the
+reference's COCO integration (/root/reference/detection/configs/
+mask_rcnn_recnext_m{3,4,5}_fpn_1x_coco.py on mmdet 2.28.2: RPNHead + shared-2FC
+box head + 4-conv mask head over an FPN on the RecNext backbone).
+
+TPU-first: every stage is fixed-shape (constant proposal count with validity masks,
+top-k + fixed-size NMS) so the whole model — RPN, RoIAlign, both heads, and all the
+losses — compiles into ONE jitted program. No dynamic box counts anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from recnext_tpu.models.layers import Conv2d
+from recnext_tpu.models.recnext import RecNextConfig
+from recnext_tpu.tasks.boxes import assign_anchors, box_iou, encode_boxes
+from recnext_tpu.tasks.detection import DetectionBackbone, generate_anchors, smooth_l1
+from recnext_tpu.tasks.roi import generate_proposals, multilevel_roi_align
+from recnext_tpu.train.losses import cross_entropy
+
+
+class RPNHead(nn.Module):
+    """Shared 3x3 conv -> (objectness, box deltas) per level; 3 anchors/location."""
+
+    channels: int = 256
+    num_anchors: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        conv = Conv2d(self.channels, 3, padding=1, dtype=self.dtype, name="conv")
+        cls = Conv2d(self.num_anchors, 1, dtype=self.dtype, name="cls")
+        reg = Conv2d(self.num_anchors * 4, 1, dtype=self.dtype, name="reg")
+        obj, deltas = [], []
+        for f in feats:
+            y = nn.relu(conv(f))
+            b, h, w, _ = f.shape
+            obj.append(cls(y).reshape(b, h * w * self.num_anchors))
+            deltas.append(reg(y).reshape(b, h * w * self.num_anchors, 4))
+        return jnp.concatenate(obj, axis=1), jnp.concatenate(deltas, axis=1)
+
+
+class BoxHead(nn.Module):
+    """Shared-2FC box head (mmdet Shared2FCBBoxHead): 7x7 RoI -> 1024 -> cls+reg."""
+
+    num_classes: int = 80
+    hidden: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rois: jnp.ndarray):  # (R, 7, 7, C)
+        x = rois.reshape(rois.shape[0], -1)
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(x))
+        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="cls")(x)
+        reg = nn.Dense(4, dtype=self.dtype, name="reg")(x)  # class-agnostic deltas
+        return cls, reg
+
+
+class MaskHead(nn.Module):
+    """4x conv3x3 + x2 upsample + per-class mask logits (mmdet FCNMaskHead)."""
+
+    num_classes: int = 80
+    channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rois: jnp.ndarray):  # (R, 14, 14, C)
+        x = rois
+        for i in range(4):
+            x = nn.relu(Conv2d(self.channels, 3, padding=1, dtype=self.dtype,
+                               name=f"conv{i}")(x))
+        r, h, w, c = x.shape
+        x = jax.image.resize(x, (r, h * 2, w * 2, c), method="nearest")
+        x = nn.relu(Conv2d(self.channels, 3, padding=1, dtype=self.dtype, name="up")(x))
+        return Conv2d(self.num_classes, 1, dtype=self.dtype, name="logits")(x)
+
+
+class MaskRCNN(nn.Module):
+    backbone_cfg: RecNextConfig
+    num_classes: int = 80
+    fpn_channels: int = 256
+    num_proposals: int = 256
+    frozen_backbone_stats: bool = True
+    with_mask: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.extractor = DetectionBackbone(
+            backbone_cfg=self.backbone_cfg, fpn_channels=self.fpn_channels,
+            num_outs=5, frozen_backbone_stats=self.frozen_backbone_stats,
+            dtype=self.dtype, name="extractor")
+        self.rpn = RPNHead(channels=self.fpn_channels, dtype=self.dtype, name="rpn")
+        self.box_head = BoxHead(num_classes=self.num_classes, dtype=self.dtype,
+                                name="box_head")
+        if self.with_mask:
+            self.mask_head = MaskHead(num_classes=self.num_classes, dtype=self.dtype,
+                                      name="mask_head")
+
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        """Returns dict with rpn outputs, proposals (+valid), roi cls/reg (and mask
+        logits), for the loss function / postprocessing to consume."""
+        img_hw = (x.shape[1], x.shape[2])
+        feats = self.extractor(x, training=training)  # P2..P6
+        obj, deltas = self.rpn(feats)
+
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors = jnp.asarray(generate_anchors(
+            feat_shapes, strides=(4, 8, 16, 32, 64),
+            scales=(1.0,), ratios=(0.5, 1.0, 2.0), base_size=2))
+
+        def per_image(o, d):
+            return generate_proposals(o, d, anchors, img_hw=img_hw,
+                                      post_nms_top_n=self.num_proposals)
+
+        proposals, valid = jax.vmap(per_image)(
+            jax.lax.stop_gradient(obj), jax.lax.stop_gradient(deltas))
+
+        rois = jax.vmap(
+            lambda f0, f1, f2, f3, b: multilevel_roi_align(
+                [f0, f1, f2, f3], b, strides=(4, 8, 16, 32), out_size=7)
+        )(feats[0], feats[1], feats[2], feats[3], proposals)
+
+        b, r = rois.shape[0], rois.shape[1]
+        cls, reg = self.box_head(rois.reshape(b * r, *rois.shape[2:]))
+        out = {
+            "anchors": anchors, "rpn_obj": obj, "rpn_deltas": deltas,
+            "proposals": proposals, "proposals_valid": valid,
+            "roi_cls": cls.reshape(b, r, -1), "roi_reg": reg.reshape(b, r, 4),
+        }
+        if self.with_mask:
+            mrois = jax.vmap(
+                lambda f0, f1, f2, f3, bx: multilevel_roi_align(
+                    [f0, f1, f2, f3], bx, strides=(4, 8, 16, 32), out_size=14)
+            )(feats[0], feats[1], feats[2], feats[3], proposals)
+            mlog = self.mask_head(mrois.reshape(b * r, *mrois.shape[2:]))
+            out["mask_logits"] = mlog.reshape(b, r, *mlog.shape[1:])
+        return out
+
+
+def mask_rcnn_loss(outputs, batch, *, num_classes: int):
+    """RPN (BCE + smooth-L1, pos 0.7 / neg 0.3) + RoI head (CE over C+1 with
+    background, smooth-L1 on positives). batch: gt_boxes (B,G,4) pad -1,
+    gt_labels (B,G) pad -1. Masks omitted from the loss when no gt masks given."""
+    anchors = outputs["anchors"]
+
+    def rpn_per_image(obj, deltas, gtb, gtl):
+        _, labels, pos, valid_m = assign_anchors(anchors, gtb, gtl,
+                                                 pos_iou=0.7, neg_iou=0.3)
+        t = pos.astype(jnp.float32)
+        o = obj.astype(jnp.float32)
+        bce = jnp.maximum(o, 0) - o * t + jnp.log1p(jnp.exp(-jnp.abs(o)))
+        bce = jnp.sum(jnp.where(valid_m, bce, 0.0)) / jnp.maximum(jnp.sum(valid_m), 1)
+        idx, _, pos2, _ = assign_anchors(anchors, gtb, gtl, pos_iou=0.7, neg_iou=0.3)
+        tgt = encode_boxes(anchors, gtb[idx])
+        tgt = jnp.where(pos2[:, None], tgt, 0.0)  # keep masked rows finite for grads
+        reg = smooth_l1(deltas, tgt, pos2)
+        return bce + reg
+
+    rpn_loss = jnp.mean(jax.vmap(rpn_per_image)(
+        outputs["rpn_obj"], outputs["rpn_deltas"], batch["gt_boxes"],
+        batch["gt_labels"]))
+
+    def roi_per_image(props, valid_m, cls, reg, gtb, gtl):
+        gt_valid = gtl >= 0
+        iou = box_iou(props, gtb) * gt_valid[None, :]
+        best = jnp.argmax(iou, axis=1)
+        best_iou = jnp.max(iou, axis=1)
+        pos = (best_iou >= 0.5) & valid_m
+        # labels: classes 0..C-1 for positives; background = C
+        labels = jnp.where(pos, gtl[best], num_classes)
+        logp = jax.nn.log_softmax(cls.astype(jnp.float32), axis=-1)
+        ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        ce = jnp.sum(jnp.where(valid_m, ce, 0.0)) / jnp.maximum(jnp.sum(valid_m), 1)
+        tgt = encode_boxes(props, gtb[best])
+        tgt = jnp.where(pos[:, None], tgt, 0.0)
+        reg_l = smooth_l1(reg, tgt, pos)
+        return ce + reg_l
+
+    roi_loss = jnp.mean(jax.vmap(roi_per_image)(
+        outputs["proposals"], outputs["proposals_valid"], outputs["roi_cls"],
+        outputs["roi_reg"], batch["gt_boxes"], batch["gt_labels"]))
+    return rpn_loss + roi_loss
