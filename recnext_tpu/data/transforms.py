@@ -157,8 +157,13 @@ def rand_augment(
     num_ops: int = 2,
     magnitude: float = 9.0,
     mstd: float = 0.5,
+    prob: float = 0.5,
 ) -> Image.Image:
+    """timm RandAugment: num_ops draws, each APPLIED with prob 0.5 (the default the
+    'rand-m9-mstd0.5-inc1' recipe uses) at magnitude ~ N(m, mstd) clipped."""
     for _ in range(num_ops):
+        if rng.random() > prob:
+            continue
         name, fn, lvl = _RA_OPS[int(rng.integers(len(_RA_OPS)))]
         m = float(np.clip(rng.normal(magnitude, mstd), 0, _MAX_LEVEL)) if mstd else magnitude
         img = fn(img, lvl(rng, m))

@@ -111,9 +111,10 @@ class MaskRCNN(nn.Module):
         obj, deltas = self.rpn(feats)
 
         feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        # mmdet RPN anchor convention: single scale 8 per level -> sides 32..512 px
         anchors = jnp.asarray(generate_anchors(
             feat_shapes, strides=(4, 8, 16, 32, 64),
-            scales=(1.0,), ratios=(0.5, 1.0, 2.0), base_size=2))
+            scales=(1.0,), ratios=(0.5, 1.0, 2.0), base_size=8))
 
         def per_image(o, d):
             return generate_proposals(o, d, anchors, img_hw=img_hw,
@@ -146,21 +147,22 @@ class MaskRCNN(nn.Module):
 
 def mask_rcnn_loss(outputs, batch, *, num_classes: int):
     """RPN (BCE + smooth-L1, pos 0.7 / neg 0.3) + RoI head (CE over C+1 with
-    background, smooth-L1 on positives). batch: gt_boxes (B,G,4) pad -1,
-    gt_labels (B,G) pad -1. Masks omitted from the loss when no gt masks given."""
+    background, smooth-L1 on positives) + mask BCE (matched-class channel vs the gt
+    mask cropped to each positive proposal). batch: gt_boxes (B,G,4) pad -1,
+    gt_labels (B,G) pad -1, optional gt_masks (B,G,H,W) binary at image resolution
+    (mask term skipped when absent)."""
     anchors = outputs["anchors"]
 
     def rpn_per_image(obj, deltas, gtb, gtl):
-        _, labels, pos, valid_m = assign_anchors(anchors, gtb, gtl,
-                                                 pos_iou=0.7, neg_iou=0.3)
+        idx, _, pos, valid_m = assign_anchors(anchors, gtb, gtl,
+                                              pos_iou=0.7, neg_iou=0.3)
         t = pos.astype(jnp.float32)
         o = obj.astype(jnp.float32)
         bce = jnp.maximum(o, 0) - o * t + jnp.log1p(jnp.exp(-jnp.abs(o)))
         bce = jnp.sum(jnp.where(valid_m, bce, 0.0)) / jnp.maximum(jnp.sum(valid_m), 1)
-        idx, _, pos2, _ = assign_anchors(anchors, gtb, gtl, pos_iou=0.7, neg_iou=0.3)
         tgt = encode_boxes(anchors, gtb[idx])
-        tgt = jnp.where(pos2[:, None], tgt, 0.0)  # keep masked rows finite for grads
-        reg = smooth_l1(deltas, tgt, pos2)
+        tgt = jnp.where(pos[:, None], tgt, 0.0)  # keep masked rows finite for grads
+        reg = smooth_l1(deltas, tgt, pos)
         return bce + reg
 
     rpn_loss = jnp.mean(jax.vmap(rpn_per_image)(
@@ -186,4 +188,36 @@ def mask_rcnn_loss(outputs, batch, *, num_classes: int):
     roi_loss = jnp.mean(jax.vmap(roi_per_image)(
         outputs["proposals"], outputs["proposals_valid"], outputs["roi_cls"],
         outputs["roi_reg"], batch["gt_boxes"], batch["gt_labels"]))
-    return rpn_loss + roi_loss
+
+    mask_loss = 0.0
+    if "mask_logits" in outputs and "gt_masks" in batch:
+        from recnext_tpu.tasks.roi import roi_align
+
+        msize = outputs["mask_logits"].shape[2]
+
+        def mask_per_image(props, valid_m, mlog, gtb, gtl, gtm):
+            gt_valid = gtl >= 0
+            iou = box_iou(props, gtb) * gt_valid[None, :]
+            best = jnp.argmax(iou, axis=1)
+            pos = (jnp.max(iou, axis=1) >= 0.5) & valid_m
+            # crop each matched gt mask (image-res binary, (G, H, W)) to the proposal
+            tgt = roi_align(gtm.astype(jnp.float32).transpose(1, 2, 0),
+                            props, out_size=msize)  # (R, m, m, G)
+            tgt = jnp.take_along_axis(
+                tgt, best[:, None, None, None], axis=-1)[..., 0]
+            tgt = (tgt > 0.5).astype(jnp.float32)
+            # per-class logits: select the matched gt class channel
+            logit = jnp.take_along_axis(
+                mlog, jnp.clip(gtl[best], 0, mlog.shape[-1] - 1)[
+                    :, None, None, None], axis=-1)[..., 0].astype(jnp.float32)
+            bce = (jnp.maximum(logit, 0) - logit * tgt
+                   + jnp.log1p(jnp.exp(-jnp.abs(logit))))
+            bce = jnp.where(pos[:, None, None], bce, 0.0)
+            return jnp.sum(bce) / jnp.maximum(jnp.sum(pos) * msize * msize, 1)
+
+        mask_loss = jnp.mean(jax.vmap(mask_per_image)(
+            outputs["proposals"], outputs["proposals_valid"],
+            outputs["mask_logits"], batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_masks"]))
+
+    return rpn_loss + roi_loss + mask_loss

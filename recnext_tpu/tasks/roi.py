@@ -60,12 +60,13 @@ def roi_align(
 
 
 def assign_fpn_level(boxes: jnp.ndarray, num_levels: int = 4,
-                     canonical_scale: float = 224.0, canonical_level: int = 2) -> jnp.ndarray:
-    """FPN level per RoI: floor(canonical_level + log2(sqrt(area)/canonical_scale)),
-    clipped — the SingleRoIExtractor mapping. Returns int32 (R,) in [0, num_levels)."""
+                     finest_scale: float = 56.0) -> jnp.ndarray:
+    """FPN level per RoI, mmdet SingleRoIExtractor rule: level =
+    floor(log2(sqrt(area) / finest_scale)), clipped to [0, num_levels) — RoIs with
+    side ~56 pool from P2, ~112 from P3, ~224 from P4, >=448 from P5."""
     area = jnp.maximum((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1e-6)
-    lvl = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(area) / canonical_scale + 1e-8))
-    return jnp.clip(lvl - 2, 0, num_levels - 1).astype(jnp.int32)  # levels P2..P5 -> 0..3
+    lvl = jnp.floor(jnp.log2(jnp.sqrt(area) / finest_scale + 1e-8))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
 
 
 def multilevel_roi_align(

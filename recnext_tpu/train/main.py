@@ -140,6 +140,11 @@ def main(argv=None):
 
         (out_dir / "args.yaml").write_text(
             yaml.safe_dump({k: v for k, v in vars(args).items()}))
+
+    def log(msg):
+        if is_main:
+            print(msg, flush=True)
+
     wandb_run = None
     if args.wandb and is_main:
         try:
@@ -148,10 +153,6 @@ def main(argv=None):
             wandb_run = wandb.init(project="recnext_tpu", config=vars(args))
         except Exception:
             log("wandb requested but unavailable; continuing without it")
-
-    def log(msg):
-        if is_main:
-            print(msg, flush=True)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     mesh = make_mesh(fsdp=args.fsdp)
@@ -197,11 +198,20 @@ def main(argv=None):
         else:
             raise SystemExit("--distillation-type requires --teacher-model")
 
+    # mixup/cutmix ablation semantics: either alpha 0 disables that branch alone
+    # (switch_prob routes everything to the remaining one); both 0 disables mixing.
+    use_mix = args.mixup > 0 or args.cutmix > 0
+    if args.mixup > 0 and args.cutmix > 0:
+        switch_prob = 0.5
+    else:
+        switch_prob = 1.0 if args.cutmix > 0 else 0.0
     train_step = make_train_step(
         model, tx, num_classes=nb_classes, teacher_apply=teacher_apply,
         distillation=args.distillation_type, alpha=args.distillation_alpha,
-        tau=args.distillation_tau, mixup=args.mixup > 0,
-        mixup_kwargs=dict(mixup_alpha=args.mixup or 0.8, cutmix_alpha=args.cutmix or 1.0),
+        tau=args.distillation_tau, mixup=use_mix,
+        mixup_kwargs=dict(mixup_alpha=max(args.mixup, 1e-8),
+                          cutmix_alpha=max(args.cutmix, 1e-8),
+                          switch_prob=switch_prob),
         smoothing=args.smoothing, ema_decay=args.model_ema_decay, remat=args.remat,
     )
     eval_step = make_eval_step(model, ema=args.eval_ema)

@@ -36,11 +36,12 @@ def test_roi_align_linear_field():
     np.testing.assert_allclose(out[:, 1], out[0, 1] * np.ones(4), atol=1e-4)
 
 
-def test_assign_fpn_level_monotonic():
+def test_assign_fpn_level_mmdet_rule():
     boxes = jnp.asarray([[0, 0, 32, 32], [0, 0, 112, 112], [0, 0, 224, 224],
                          [0, 0, 448, 448]], jnp.float32)
     lv = np.asarray(assign_fpn_level(boxes))
-    assert (np.diff(lv) >= 0).all() and lv.min() >= 0 and lv.max() <= 3
+    # finest_scale=56: side 32 -> P2, 112 -> P3, 224 -> P4, 448 -> P5
+    np.testing.assert_array_equal(lv, [0, 1, 2, 3])
 
 
 def test_generate_proposals_shapes():
@@ -66,11 +67,15 @@ def test_mask_rcnn_forward_and_loss_learns():
     assert out["roi_cls"].shape == (1, 32, 6)
     assert out["mask_logits"].shape == (1, 32, 28, 28, 5)
 
+    gt_masks = np.zeros((1, 2, 64, 64), np.float32)
+    gt_masks[0, 0, 8:30, 8:30] = 1.0
+    gt_masks[0, 1, 36:56, 36:60] = 1.0
     batch = {
         "image": jnp.asarray(
             np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)),
         "gt_boxes": jnp.asarray([[[8, 8, 30, 30], [36, 36, 60, 56]]], jnp.float32),
         "gt_labels": jnp.asarray([[1, 3]], jnp.int32),
+        "gt_masks": jnp.asarray(gt_masks),
     }
     tx = optax.adam(1e-3)
     params = variables["params"]
