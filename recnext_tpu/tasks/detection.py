@@ -46,20 +46,29 @@ class DetectionBackbone(nn.Module):
 
 
 def init_backbone_from_classification(det_variables, cls_variables):
-    """Load classification-checkpoint weights into the detector's backbone subtree,
+    """Load classification-checkpoint weights into the detector's `backbone` subtree
+    (found at any nesting depth, e.g. extractor/backbone in RetinaNet/MaskRCNN),
     keeping neck/head init — the init_cfg=Pretrained counterpart
-    (detection/recnext.py:234-263, non-strict: head params are ignored)."""
-    out_params = dict(det_variables["params"])
+    (detection/recnext.py:234-263, non-strict: classifier-head params are dropped)."""
+
+    def replace(tree, new_bb):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if k == "backbone":
+                out[k] = new_bb
+            else:
+                out[k] = replace(v, new_bb)
+        return out
+
     bb = dict(cls_variables["params"])
     bb.pop("head", None)
-    out_params["backbone"] = bb
-    out = {"params": out_params}
+    out = {"params": replace(dict(det_variables["params"]), bb)}
     if "batch_stats" in det_variables:
-        stats = dict(det_variables["batch_stats"])
         cls_stats = dict(cls_variables.get("batch_stats", {}))
         cls_stats.pop("head", None)
-        stats["backbone"] = cls_stats
-        out["batch_stats"] = stats
+        out["batch_stats"] = replace(dict(det_variables["batch_stats"]), cls_stats)
     return out
 
 

@@ -64,6 +64,21 @@ def test_retinanet_forward_and_losses():
     assert np.isfinite(float(fl)) and np.isfinite(float(sl))
 
 
+def test_init_from_classification_nested():
+    """Checkpoint init also reaches the backbone nested inside RetinaNet/MaskRCNN."""
+    cls = RecNext(cfg=TINY)
+    x = jnp.ones((1, 64, 64, 3))
+    cls_vars = cls.init(jax.random.PRNGKey(7), x)
+    det = RetinaNet(backbone_cfg=TINY, num_classes=4, fpn_channels=32)
+    det_vars = det.init(jax.random.PRNGKey(0), x)
+    loaded = init_backbone_from_classification(det_vars, cls_vars)
+    a = loaded["params"]["extractor"]["backbone"]["stem"]["conv1"]["conv"]["kernel"]
+    b = cls_vars["params"]["stem"]["conv1"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out = det.apply(loaded, x)
+    assert out[0].shape[0] == 1
+
+
 def test_retinanet_postprocess():
     from recnext_tpu.tasks.detection import retinanet_postprocess
 
