@@ -132,6 +132,38 @@ class FakeData:
         return Image.fromarray(arr, "RGB"), label
 
 
+class SegFolder:
+    """ADE20K-style segmentation layout: <root>/images/<split>/*.jpg paired with
+    <root>/annotations/<split>/*.png (label PNGs, 0 = ignore -> remapped to 255,
+    classes 1..150 -> 0..149 per the mmseg ADE20KDataset convention)."""
+
+    def __init__(self, root: str, split: str = "training", reduce_zero_label: bool = True):
+        self.root = Path(root)
+        img_dir = self.root / "images" / split
+        ann_dir = self.root / "annotations" / split
+        self.reduce_zero_label = reduce_zero_label
+        self.samples = []
+        for p in sorted(img_dir.glob("*")):
+            if p.suffix.lower() not in IMG_EXTENSIONS:
+                continue
+            ann = ann_dir / (p.stem + ".png")
+            if ann.exists():
+                self.samples.append((p, ann))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+
+        img_p, ann_p = self.samples[i]
+        img = Image.open(img_p).convert("RGB")
+        seg = np.asarray(Image.open(ann_p), dtype=np.int32)
+        if self.reduce_zero_label:
+            seg = np.where(seg == 0, 256, seg) - 1  # 0 -> 255 (ignore), k -> k-1
+        return img, seg
+
+
 def build_dataset(is_train: bool, data_set: str, data_path: str,
                   input_size: int = 224, fake_classes: int = 1000) -> Tuple[object, int]:
     """(dataset, nb_classes) — reference data/datasets.py:64-99 counterpart."""

@@ -117,6 +117,39 @@ def miou(logits: jnp.ndarray, labels: jnp.ndarray, num_classes: int,
     return inter, union
 
 
+def seg_train_sample(rng: np.random.Generator, img, seg: np.ndarray, crop: int,
+                     scale_range=(0.5, 2.0), ignore_index: int = 255):
+    """mmseg-style train sample: random scale, random crop (pad with ignore), hflip,
+    normalize. img: PIL; seg: (H, W) int labels. Returns (crop,crop,3) f32 and
+    (crop,crop) i32."""
+    from PIL import Image
+
+    from recnext_tpu.data.transforms import normalize
+
+    w, h = img.size
+    f = rng.uniform(*scale_range)
+    nw, nh = max(1, int(w * f)), max(1, int(h * f))
+    img = img.resize((nw, nh), Image.BILINEAR)
+    seg_img = Image.fromarray(seg.astype(np.int32), mode="I").resize((nw, nh),
+                                                                     Image.NEAREST)
+    seg = np.asarray(seg_img, dtype=np.int32)
+    arr = normalize(img).astype(np.float32)
+
+    # pad to at least crop with ignore/zeros
+    ph, pw = max(crop - nh, 0), max(crop - nw, 0)
+    if ph or pw:
+        arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)))
+        seg = np.pad(seg, ((0, ph), (0, pw)), constant_values=ignore_index)
+    y = int(rng.integers(0, arr.shape[0] - crop + 1))
+    x = int(rng.integers(0, arr.shape[1] - crop + 1))
+    arr = arr[y:y + crop, x:x + crop]
+    seg = seg[y:y + crop, x:x + crop]
+    if rng.random() < 0.5:
+        arr = arr[:, ::-1].copy()
+        seg = seg[:, ::-1].copy()
+    return arr, seg
+
+
 def align_resize(img: np.ndarray, seg: Optional[np.ndarray] = None,
                  scale: Tuple[int, int] = (2048, 512), size_divisor: int = 32):
     """Eval-time AlignResize: keep-ratio resize to `scale`, then round BOTH dims up to

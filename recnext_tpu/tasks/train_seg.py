@@ -55,7 +55,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--crop", type=int, default=512)
     p.add_argument("--eval-every", type=int, default=8000)
-    p.add_argument("--data-set", default="FAKE", choices=["FAKE"])
+    p.add_argument("--data-set", default="FAKE", choices=["FAKE", "FOLDER"],
+                   help="FOLDER = ADE20K-style images/ + annotations/ layout")
+    p.add_argument("--data-path", default="")
     p.add_argument("--init-ckpt", default="", help="classification ckpt (.pth/orbax)")
     p.add_argument("--output-dir", default="runs/seg")
     p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
@@ -113,9 +115,30 @@ def main(argv=None):
     out.mkdir(parents=True, exist_ok=True)
     rng_np = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
+
+    seg_ds = None
+    if args.data_set == "FOLDER":
+        from recnext_tpu.data.datasets import SegFolder
+        from recnext_tpu.tasks.segmentation import seg_train_sample
+
+        seg_ds = SegFolder(args.data_path, split="training")
+
+        def next_batch(rng):
+            imgs, segs = [], []
+            for _ in range(args.batch_size):
+                img, seg = seg_ds[int(rng.integers(len(seg_ds)))]
+                a, s = seg_train_sample(rng, img, seg, args.crop)
+                imgs.append(a)
+                segs.append(s)
+            return {"image": np.stack(imgs), "label": np.stack(segs)}
+    else:
+        def next_batch(rng):
+            return synthetic_seg_batch(rng, args.batch_size, args.crop,
+                                       args.num_classes)
+
     t0 = time.time()
     for it in range(args.iters):
-        batch = synthetic_seg_batch(rng_np, args.batch_size, args.crop, args.num_classes)
+        batch = next_batch(rng_np)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, loss = train_step(state, batch, jax.random.fold_in(key, it))
         if (it + 1) % args.eval_every == 0 or it + 1 == args.iters:
