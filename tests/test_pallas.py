@@ -9,6 +9,23 @@ from recnext_tpu.ops.attention import linear_attention_kv_first, linear_attentio
 from recnext_tpu.ops.pallas.linear_attention import pallas_linear_attention
 
 
+@pytest.mark.parametrize("h,c,level", [(14, 192, 2), (15, 32, 2), (7, 64, 1),
+                                       (28, 48, 3)])
+def test_pallas_recconv_matches_jnp(h, c, level):
+    from recnext_tpu.ops.pallas.recconv import pallas_rec_conv2d
+    from recnext_tpu.ops.recconv import rec_conv2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, h, h, c)).astype(np.float32))
+    dw = jnp.asarray(rng.normal(size=(5, 5, 1, c)).astype(np.float32))
+    cws = tuple(jnp.asarray(rng.normal(size=(5, 5, 1, c)).astype(np.float32))
+                for _ in range(level + 1))
+    want = np.asarray(rec_conv2d(x, dw, cws, level=level, mode="bilinear"))
+    got = np.asarray(pallas_rec_conv2d(x, dw, cws, level=level, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5,
+                               atol=2e-5 * np.abs(want).max())
+
+
 @pytest.mark.parametrize("bh,n,d,dv", [
     (2, 16, 32, 32),     # reference test shape (dim 64, heads 2, res 4)
     (4, 64, 64, 64),     # (dim 128/256 shapes)
