@@ -18,6 +18,13 @@ from recnext_tpu.benchmark.micro import timeit
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:  # honor the env var even when a site hook pre-pinned another platform
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="recnext_m1")
     p.add_argument("--batch", type=int, default=256)
@@ -36,7 +43,6 @@ def main(argv=None):
     variables = fuse_params(jax.tree.map(lambda s: np.ones(s.shape, s.dtype), shapes))
     variables = jax.device_put(variables)
 
-    bound = model.bind(variables)
     stem_stride = 4 if cfg.family != "l" else 8
     h = 224 // stem_stride
     results = {}
@@ -53,14 +59,13 @@ def main(argv=None):
 
     results["stem"] = timeit(jax.jit(stem_chained), x_in, chain_idx=0)
 
-    # per stage: time blocks at their input shape (downsample included for i>0)
+    # per stage: time blocks at their INPUT shape (the downsample, included for
+    # i>0, halves it internally)
     dims = cfg.embed_dim
     for i in range(4):
-        hw = h // (2 ** i)
+        in_hw = h // (2 ** max(i - 1, 0))
         cin = dims[i - 1] if i > 0 else dims[0]
-        x = jnp.ones((args.batch, hw * (2 if i > 0 else 1) if False else
-                      (h // (2 ** max(i - 1, 0)) if i > 0 else hw),
-                      (h // (2 ** max(i - 1, 0)) if i > 0 else hw), cin), dtype)
+        x = jnp.ones((args.batch, in_hw, in_hw, cin), dtype)
 
         def stage_fn(xx, i=i):
             def run(m, inp, training):

@@ -159,10 +159,11 @@ def make_detection_train_step(model: RetinaNet, tx, anchors: jnp.ndarray,
 
     from recnext_tpu.tasks.boxes import assign_anchors, encode_boxes
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, rng):
         outputs, mut = model.apply(
             {"params": params, "batch_stats": batch_stats}, batch["image"],
-            training=True, mutable=["batch_stats"])
+            training=True, mutable=["batch_stats"],
+            rngs={"droppath": rng, "dropout": rng})
         cls_scores, bbox_preds = outputs
 
         def per_image(scores, preds, gtb, gtl):
@@ -180,8 +181,9 @@ def make_detection_train_step(model: RetinaNet, tx, anchors: jnp.ndarray,
         return jnp.mean(losses), mut["batch_stats"]
 
     def train_step(state, batch):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch)
+            state.params, state.batch_stats, batch, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         state = state.replace(step=state.step + 1, params=new_params,

@@ -115,17 +115,19 @@ def main(argv=None):
                          frozen_backbone_stats=False, with_mask=False)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
 
-        def loss_fn(params, batch_stats, batch):
+        def loss_fn(params, batch_stats, batch, rng):
             out, mut = model.apply({"params": params, "batch_stats": batch_stats},
                                    batch["image"], training=True,
-                                   mutable=["batch_stats"])
+                                   mutable=["batch_stats"],
+                                   rngs={"droppath": rng, "dropout": rng})
             return mask_rcnn_loss(out, batch, num_classes=args.num_classes), \
                 mut["batch_stats"]
 
         @jax.jit
         def train_step(state, batch):
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.batch_stats, batch)
+                state.params, state.batch_stats, batch, rng)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return state.replace(step=state.step + 1, params=params,

@@ -121,7 +121,13 @@ def main(argv=None):
         from recnext_tpu.data.datasets import SegFolder
         from recnext_tpu.tasks.segmentation import seg_train_sample
 
+        if not args.data_path:
+            raise SystemExit("--data-set FOLDER requires --data-path")
         seg_ds = SegFolder(args.data_path, split="training")
+        if len(seg_ds) == 0:
+            raise SystemExit(
+                f"no image/annotation pairs under {args.data_path}/images/training "
+                f"+ annotations/training — check --data-path")
 
         def next_batch(rng):
             imgs, segs = [], []
