@@ -15,6 +15,7 @@ single-dispatch Pallas variant lives in recnext_tpu/ops/pallas/recconv.py.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from recnext_tpu.ops.conv import depthwise_conv2d
 from recnext_tpu.ops.resize import resize, resize_matmul
@@ -58,3 +59,81 @@ def rec_conv2d(
 
     out = inp if acc is None else inp + acc
     return depthwise_conv2d(out, conv_ws[level], conv_bs[level], stride=1, padding=pad)
+
+
+def rec_conv2d_channel_split(
+    x: jnp.ndarray,
+    down_ws: tuple[jnp.ndarray, ...],   # level kernels, widths C/2, C/4, ...
+    conv_ws: tuple[jnp.ndarray, ...],   # level+1 kernels, coarsest-first widths
+    *,
+    level: int,
+    mode: str = "bilinear",
+) -> jnp.ndarray:
+    """RecConv 'channel-split' alternate (documented dead code in the reference,
+    /root/reference/model/recnext.py:511-541): at each level the channel dim is
+    chunked in half — the first half is carried as a skip, the second half is
+    downsampled — and the decode path upsamples + concatenates the skips back.
+
+    conv_ws[0] applies at the coarsest level (width C/2^level)."""
+    assert len(down_ws) == level and len(conv_ws) == level + 1
+    k = int(down_ws[0].shape[0]) if level else int(conv_ws[0].shape[0])
+    pad = k // 2
+
+    skips: list[tuple[jnp.ndarray, tuple[int, int]]] = []
+    for lvl in range(level):
+        c = x.shape[-1]
+        r, x2 = x[..., : c // 2], x[..., c // 2:]
+        size = (int(x2.shape[1]), int(x2.shape[2]))
+        x = depthwise_conv2d(x2, down_ws[lvl], stride=2, padding=pad)
+        skips.append((r, size))
+
+    for lvl, (r, size) in enumerate(reversed(skips)):
+        h = depthwise_conv2d(x, conv_ws[lvl], stride=1, padding=pad)
+        x = jnp.concatenate([r, resize(h, size, mode=mode)], axis=-1)
+    return depthwise_conv2d(x, conv_ws[level], stride=1, padding=pad)
+
+
+def rec_conv2d_transpose_up(
+    x: jnp.ndarray,
+    down_w: jnp.ndarray,
+    conv_ws: tuple[jnp.ndarray, ...],
+    up_w: jnp.ndarray,                  # (k+1, k+1, 1, C) depthwise transpose kernel
+    *,
+    level: int,
+) -> jnp.ndarray:
+    """RecConv alternate with a learned ConvTranspose2d upsample instead of bilinear
+    (documented dead code, /root/reference/model/recnext.py:472-509 — 'only supports
+    resolutions like 256, 384' i.e. power-of-two-divisible spatial sizes)."""
+    assert len(conv_ws) == level + 1
+    k = int(down_w.shape[0])
+    pad = k // 2
+
+    inp = x
+    feats = []
+    for _ in range(level):
+        x = depthwise_conv2d(x, down_w, stride=2, padding=pad)
+        feats.append(x)
+
+    acc = None
+    for lvl, f in enumerate(reversed(feats)):
+        h = f if acc is None else f + acc
+        h = depthwise_conv2d(h, conv_ws[lvl], stride=1, padding=pad)
+        # torch ConvTranspose2d(stride=2, kernel=k+1, padding=k//2) doubles the size
+        acc = _depthwise_conv_transpose2d(h, up_w, stride=2, padding=pad)
+    out = inp if acc is None else inp + acc
+    return depthwise_conv2d(out, conv_ws[level], stride=1, padding=pad)
+
+
+def _depthwise_conv_transpose2d(x, w, *, stride=2, padding=2):
+    """Depthwise ConvTranspose2d with torch semantics: out = (in-1)*s - 2p + k.
+    Implemented as input dilation + regular depthwise conv with a flipped kernel."""
+    k = int(w.shape[0])
+    wf = w[::-1, ::-1]
+    return lax.conv_general_dilated(
+        x, jnp.asarray(wf, x.dtype),
+        window_strides=(1, 1),
+        padding=[(k - 1 - padding, k - 1 - padding)] * 2,
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=w.shape[-1],
+    )
