@@ -113,6 +113,55 @@ def test_three_augment_transform():
     assert out.shape == (32, 32, 3)
 
 
+def test_inat_dataset(tmp_path):
+    import json
+
+    from PIL import Image as PILImage
+
+    from recnext_tpu.data.datasets import INatDataset
+
+    (tmp_path / "train_val2018").mkdir()
+    categories = [{"id": 10, "name": "sp_a", "kingdom": "Animalia"},
+                  {"id": 20, "name": "sp_b", "kingdom": "Plantae"}]
+    images, annotations = [], []
+    rng = np.random.default_rng(0)
+    for i, cat in enumerate([10, 20, 10]):
+        fn = f"train_val2018/img{i}.jpg"
+        PILImage.fromarray((rng.random((20, 20, 3)) * 255).astype(np.uint8)).save(
+            tmp_path / fn)
+        images.append({"id": i, "file_name": fn})
+        annotations.append({"image_id": i, "category_id": cat})
+    (tmp_path / "train2018.json").write_text(json.dumps(
+        {"images": images, "annotations": annotations}))
+    (tmp_path / "categories.json").write_text(json.dumps(categories))
+
+    ds = INatDataset(str(tmp_path), train=True, year=2018, category="name")
+    assert len(ds) == 3 and ds.nb_classes == 2
+    img, label = ds[0]
+    assert img.size == (20, 20) and label in (0, 1)
+    # kingdom-level targeting collapses to 2 classes too, but remaps labels
+    ds_k = INatDataset(str(tmp_path), train=True, year=2018, category="kingdom")
+    assert ds_k.nb_classes == 2
+
+
+def test_load_torch_checkpoint_file(tmp_path):
+    """load_torch_checkpoint reads a torch.save'd {'model': state_dict} file."""
+    import torch
+
+    from recnext_tpu.convert import load_torch_checkpoint
+    from tests.torch_ref import load_ref_module
+
+    mod = load_ref_module("model/recnext.py", "ref_recnext_ckpt")
+    tm = mod.RecNext(embed_dim=(8, 16, 32, 64), depth=(1, 0, 1, 0), mlp_ratio=2,
+                     num_classes=4)
+    path = tmp_path / "ckpt.pth"
+    torch.save({"model": tm.state_dict(), "epoch": 3}, path)
+    variables = load_torch_checkpoint(str(path))
+    assert "params" in variables and "batch_stats" in variables
+    k = variables["params"]["stem"]["conv1"]["conv"]["kernel"]
+    assert k.shape == (3, 3, 3, 4)  # HWIO of the first stem conv (out = 8//2)
+
+
 def test_loader_batches():
     ds, nb = build_dataset(True, "FAKE", "", input_size=32)
     assert nb == 1000
