@@ -149,6 +149,7 @@ class RecAttn2d(nn.Module):
     kernel_size: int = 5
     la_variant: int = 1
     use_bias: bool = False
+    kernel: str = "elu"  # feature map: elu | softplus | relu (lsnet refinement)
     mode: str = "nearest"
     fused: bool = False
     dtype: Dtype = jnp.float32
@@ -162,7 +163,8 @@ class RecAttn2d(nn.Module):
             x, training=training
         )
         y = LinearAttention(
-            self.num_heads, variant=self.la_variant, name="attn", **kw
+            self.num_heads, variant=self.la_variant, kernel=self.kernel,
+            name="attn", **kw
         )(y, training=training)
         y = resize(y, (x.shape[1], x.shape[2]), mode=self.mode)
         return ConvNorm(c, k, padding=k // 2, groups=c, name="conv", **kw)(

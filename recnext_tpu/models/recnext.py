@@ -68,6 +68,9 @@ class RecNextConfig:
     # MXU via two small einsums and is ~23% faster end-to-end on v5e than the
     # VPU-gather form (PERF.md); both compute the identical PyTorch-exact function.
     recconv_upsample: str = "matmul"
+    # linear-attention feature map: elu | softplus | relu (the lsnet "Promising
+    # refinement" kernel ablation, /root/reference/lsnet/README.md)
+    attn_kernel: str = "elu"
 
     @property
     def num_features(self) -> int:
@@ -152,6 +155,7 @@ class MetaNeXtBlockA(nn.Module):
     mlp_ratio: float
     stage: int
     drop_path: float = 0.0
+    attn_kernel: str = "elu"
     fused: bool = False
     dtype: Dtype = jnp.float32
 
@@ -161,6 +165,7 @@ class MetaNeXtBlockA(nn.Module):
         y = RecAttn2d(
             num_heads=2 ** (self.stage + 1),
             la_variant=2 if self.stage >= 3 else 1,
+            kernel=self.attn_kernel,
             fused=self.fused,
             dtype=self.dtype,
             name="token_mixer",
@@ -189,6 +194,7 @@ class MetaNeXtBlockL(nn.Module):
     drop_path: float = 0.0
     la3_from_stage: int = 3
     share: str = "off"  # off | collect | share
+    attn_kernel: str = "elu"
     fused: bool = False
     dtype: Dtype = jnp.float32
 
@@ -196,7 +202,8 @@ class MetaNeXtBlockL(nn.Module):
     def __call__(self, x: jnp.ndarray, training: bool = False,
                  x1s: Optional[list] = None) -> jnp.ndarray:
         c = x.shape[-1]
-        kw = dict(use_bias=True, fused=self.fused, dtype=self.dtype)
+        kw = dict(use_bias=True, kernel=self.attn_kernel, fused=self.fused,
+                  dtype=self.dtype)
         x = RepVGGDW(fused=self.fused, dtype=self.dtype, name="rep_mixer")(
             x, training=training
         )
@@ -370,6 +377,7 @@ class RecNext(nn.Module):
                                                  name=name))
                 elif cfg.family == "a":
                     blocks.append(MetaNeXtBlockA(ratio, stage=i, drop_path=rates[i][j],
+                                                 attn_kernel=cfg.attn_kernel,
                                                  fused=self.fused, dtype=self.dtype,
                                                  name=name))
                 else:
@@ -390,7 +398,8 @@ class RecNext(nn.Module):
                         MetaNeXtBlockL(ratio, stage=i, num_heads=heads,
                                        split_rate=cfg.split_rates[i],
                                        drop_path=rates[i][j], la3_from_stage=la3_from,
-                                       share=share, fused=self.fused,
+                                       share=share, attn_kernel=cfg.attn_kernel,
+                                       fused=self.fused,
                                        dtype=self.dtype, name=name)
                     )
             stage_blocks.append(blocks)
