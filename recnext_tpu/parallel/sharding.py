@@ -22,6 +22,45 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: str = "", num_processes: int = 0,
+                     process_id: int = -1) -> bool:
+    """Multi-host bring-up: jax.distributed.initialize — the TPU-native replacement
+    for the reference's torchrun/SLURM rank discovery + dist.init_process_group
+    (utils.py:202-224). Must run before the first JAX backend use in the process.
+
+    Explicit args take precedence; otherwise standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — also what
+    jax.distributed.initialize() itself auto-detects on Cloud TPU/SLURM). Returns
+    True if a multi-process runtime was initialized.
+    """
+    import os
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS", "")
+    if num_processes <= 0:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
+    if process_id < 0:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "-1") or -1)
+    if not coordinator or num_processes <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def put_batch(batch: Any, sharding: NamedSharding) -> Any:
+    """Place a host batch onto the mesh. Single-process: plain device_put. Multi-
+    process: each process holds only its LOCAL shard (loader already strided by
+    process_index), assembled into one global jax.Array with
+    jax.make_array_from_process_local_data — the multi-host counterpart of the
+    reference's per-rank DataLoader + DDP implicit global batch."""
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch)
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     fsdp: int = 1,
@@ -31,6 +70,14 @@ def make_mesh(
     """("data", "fsdp") mesh over the first n_devices. fsdp=1 -> pure data parallel."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"device(s) are visible ({[str(d) for d in devs]}); to simulate, "
+                "set JAX_PLATFORMS=cpu "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=<n> before jax "
+                "initializes"
+            )
         devs = devs[:n_devices]
     n = len(devs)
     if n % fsdp != 0:
