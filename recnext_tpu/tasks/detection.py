@@ -150,7 +150,7 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray,
 
 
 def make_detection_train_step(model: RetinaNet, tx, anchors: jnp.ndarray,
-                              num_classes: int):
+                              num_classes: int, seed: int = 0):
     """Jittable RetinaNet train step: per-image MaxIoU anchor assignment, focal loss
     on classes, smooth-L1 on box deltas (the role mmdet's runner+assigner play around
     the reference backbone). batch = {image (B,H,W,3), gt_boxes (B,G,4) padded -1,
@@ -181,7 +181,7 @@ def make_detection_train_step(model: RetinaNet, tx, anchors: jnp.ndarray,
         return jnp.mean(losses), mut["batch_stats"]
 
     def train_step(state, batch):
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

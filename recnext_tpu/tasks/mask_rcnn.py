@@ -145,6 +145,96 @@ class MaskRCNN(nn.Module):
         return out
 
 
+    def predict(self, x: jnp.ndarray, *, score_thresh: float = 0.05,
+                iou_thresh: float = 0.5, max_det: int = 100):
+        """Fixed-shape inference (mmdet test-time path): RPN proposals -> box head
+        refine + class scores -> NMS -> mask head on the REFINED boxes. Returns
+        (boxes (B,D,4) canvas coords, scores (B,D), labels (B,D), mask_probs
+        (B,D,m,m) or None, valid (B,D))."""
+        from recnext_tpu.tasks.boxes import decode_boxes, nms
+
+        img_hw = (x.shape[1], x.shape[2])
+        feats = self.extractor(x, training=False)
+        obj, deltas = self.rpn(feats)
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors = jnp.asarray(generate_anchors(
+            feat_shapes, strides=(4, 8, 16, 32, 64),
+            scales=(1.0,), ratios=(0.5, 1.0, 2.0), base_size=8))
+
+        proposals, pvalid = jax.vmap(
+            lambda o, d: generate_proposals(o, d, anchors, img_hw=img_hw,
+                                            post_nms_top_n=self.num_proposals)
+        )(obj, deltas)
+
+        rois = jax.vmap(
+            lambda f0, f1, f2, f3, b: multilevel_roi_align(
+                [f0, f1, f2, f3], b, strides=(4, 8, 16, 32), out_size=7)
+        )(feats[0], feats[1], feats[2], feats[3], proposals)
+        b, r = rois.shape[0], rois.shape[1]
+        cls, reg = self.box_head(rois.reshape(b * r, *rois.shape[2:]))
+        cls = cls.reshape(b, r, -1)
+        reg = reg.reshape(b, r, 4)
+
+        def per_image(props, pv, c, rg):
+            probs = jax.nn.softmax(c.astype(jnp.float32), axis=-1)[:, :-1]
+            best_score = jnp.max(probs, axis=-1) * pv
+            best_label = jnp.argmax(probs, axis=-1)
+            boxes = decode_boxes(props, rg.astype(jnp.float32))
+            boxes = jnp.stack([
+                jnp.clip(boxes[:, 0], 0, img_hw[1]),
+                jnp.clip(boxes[:, 1], 0, img_hw[0]),
+                jnp.clip(boxes[:, 2], 0, img_hw[1]),
+                jnp.clip(boxes[:, 3], 0, img_hw[0])], axis=-1)
+            score = jnp.where(best_score >= score_thresh, best_score, 0.0)
+            idx, mask = nms(boxes, score, iou_thresh=iou_thresh, max_out=max_det)
+            return (boxes[idx], best_score[idx] * mask, best_label[idx], mask)
+
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(per_image)(
+            proposals, pvalid.astype(jnp.float32), cls, reg)
+
+        mask_probs = None
+        if self.with_mask:
+            mrois = jax.vmap(
+                lambda f0, f1, f2, f3, bx: multilevel_roi_align(
+                    [f0, f1, f2, f3], bx, strides=(4, 8, 16, 32), out_size=14)
+            )(feats[0], feats[1], feats[2], feats[3], det_boxes)
+            d = det_boxes.shape[1]
+            mlog = self.mask_head(mrois.reshape(b * d, *mrois.shape[2:]))
+            mlog = mlog.reshape(b, d, *mlog.shape[1:])  # (B, D, m, m, C)
+            sel = jnp.clip(det_labels, 0, mlog.shape[-1] - 1)
+            mlog = jnp.take_along_axis(
+                mlog, sel[:, :, None, None, None], axis=-1)[..., 0]
+            mask_probs = jax.nn.sigmoid(mlog.astype(jnp.float32))
+        return det_boxes, det_scores, det_labels, mask_probs, det_valid
+
+
+def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, orig_hw, scale: float,
+                thresh: float = 0.5) -> np.ndarray:
+    """Host-side mask pasting: (D, m, m) probabilities + canvas-coord boxes ->
+    (D, H, W) binary masks in ORIGINAL image coordinates (boxes divided by the
+    letterbox scale). The mmdet _do_paste_mask counterpart, numpy/PIL."""
+    from PIL import Image
+
+    H, W = int(orig_hw[0]), int(orig_hw[1])
+    out = np.zeros((len(boxes), H, W), np.uint8)
+    for i, (box, mp) in enumerate(zip(np.asarray(boxes) / scale,
+                                      np.asarray(mask_probs))):
+        x1, y1, x2, y2 = box
+        x1i, y1i = int(np.floor(x1)), int(np.floor(y1))
+        x2i, y2i = int(np.ceil(x2)), int(np.ceil(y2))
+        w, h = max(x2i - x1i, 1), max(y2i - y1i, 1)
+        m = Image.fromarray((mp * 255).astype(np.uint8)).resize(
+            (w, h), Image.BILINEAR)
+        m = np.asarray(m, np.float32) / 255.0 >= thresh
+        sx1, sy1 = max(0, -x1i), max(0, -y1i)
+        dx1, dy1 = max(0, x1i), max(0, y1i)
+        dx2, dy2 = min(W, x1i + w), min(H, y1i + h)
+        if dx2 > dx1 and dy2 > dy1:
+            out[i, dy1:dy2, dx1:dx2] = m[sy1:sy1 + dy2 - dy1,
+                                         sx1:sx1 + dx2 - dx1]
+    return out
+
+
 def mask_rcnn_loss(outputs, batch, *, num_classes: int):
     """RPN (BCE + smooth-L1, pos 0.7 / neg 0.3) + RoI head (CE over C+1 with
     background, smooth-L1 on positives) + mask BCE (matched-class channel vs the gt

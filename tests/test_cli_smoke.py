@@ -17,14 +17,57 @@ def test_train_seg_cli_smoke(tmp_path):
     assert np.isfinite(rec["loss"]) and rec["iter"] == 2
 
 
-def test_train_det_cli_smoke(tmp_path):
+def test_train_det_cli_smoke_with_eval_and_resume(tmp_path):
     from recnext_tpu.tasks.train_det import main
 
-    main(["--backbone", "recnext_m0", "--detector", "retinanet", "--num-classes", "4",
-          "--epochs", "1", "--steps-per-epoch", "2", "--img-size", "64",
-          "--batch-size", "2", "--output-dir", str(tmp_path)])
+    argv = ["--backbone", "recnext_m0", "--detector", "retinanet",
+            "--num-classes", "4", "--steps-per-epoch", "2", "--img-size", "64",
+            "--batch-size", "2", "--fake-size", "4", "--eval-every", "1",
+            "--eval-max-images", "4", "--output-dir", str(tmp_path)]
+    main(argv + ["--epochs", "1"])
     rec = json.loads((tmp_path / "log.txt").read_text().strip().splitlines()[-1])
-    assert np.isfinite(rec["loss"])
+    assert np.isfinite(rec["train_loss"])
+    assert "bbox_mAP" in rec and 0.0 <= rec["bbox_mAP"] <= 1.0
+    # auto-resume continues from the saved epoch instead of restarting
+    main(argv + ["--epochs", "2", "--resume"])
+    lines = (tmp_path / "log.txt").read_text().strip().splitlines()
+    assert json.loads(lines[-1])["epoch"] == 1 and len(lines) == 2
+
+
+def test_train_det_cli_coco_folder(tmp_path):
+    """--data-set COCO end-to-end over a tiny on-disk COCO-format dataset,
+    Mask R-CNN with masks, AP eval from the same annotations."""
+    from PIL import Image
+
+    from recnext_tpu.tasks.train_det import main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (48, 56, 3), np.uint8)).save(
+            img_dir / f"{i}.png")
+        images.append({"id": i, "file_name": f"{i}.png", "width": 56,
+                       "height": 48})
+        annotations.append({"id": i + 1, "image_id": i, "category_id": 1,
+                            "bbox": [8, 8, 24, 20], "area": 480, "iscrowd": 0,
+                            "segmentation": [[8, 8, 32, 8, 32, 28, 8, 28]]})
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "box"}]}))
+
+    out = tmp_path / "run"
+    main(["--backbone", "recnext_m0", "--detector", "mask_rcnn", "--with-mask",
+          "--data-set", "COCO", "--ann-file", str(ann), "--img-dir", str(img_dir),
+          "--val-ann-file", str(ann), "--val-img-dir", str(img_dir),
+          "--epochs", "1", "--img-size", "64", "--batch-size", "2",
+          "--num-proposals", "16", "--max-gt", "4", "--eval-every", "1",
+          "--output-dir", str(out)])
+    rec = json.loads((out / "log.txt").read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"])
+    assert "bbox_mAP" in rec and "segm_mAP" in rec
 
 
 def test_train_main_cli_smoke(tmp_path):
