@@ -360,6 +360,68 @@ def mlla_torch_to_flax(state: Mapping[str, Any]) -> Dict[str, Dict]:
     return {"params": params, "batch_stats": stats}
 
 
+def _map_key_regnety(key: str):
+    """timm RegNetY state-dict key -> (flax path, collection, transform).
+
+    timm layout (the DeiT regnety_160 teacher checkpoint, main.py:336-352):
+    stem.conv/bn, s{i}.b{j}.conv{1,2,3}.{conv,bn}, s{i}.b{j}.se.fc{1,2},
+    s{i}.b{j}.downsample.{conv,bn}, head.fc. Ours: stem/..., s{i}_b{j}/...,
+    head_fc, with ConvNorm's BN submodule named 'norm'.
+    """
+    if key.endswith("num_batches_tracked"):
+        return None
+    toks = key.split(".")
+    leaf = toks[-1]
+    out: list = []
+    i = 0
+    while i < len(toks) - 1:
+        t = toks[i]
+        if t.startswith("s") and t[1:].isdigit() and i + 1 < len(toks) \
+                and toks[i + 1].startswith("b") and toks[i + 1][1:].isdigit():
+            out.append(f"{t}_{toks[i + 1]}")
+            i += 2
+            continue
+        if t == "bn":
+            out.append("norm")
+            i += 1
+            continue
+        if t == "head" and toks[i + 1] == "fc":
+            out.append("head_fc")
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    parent = out[-1] if out else ""
+    if parent == "norm":
+        col = {"weight": ("params", "scale"), "bias": ("params", "bias"),
+               "running_mean": ("batch_stats", "mean"),
+               "running_var": ("batch_stats", "var")}[leaf]
+        return tuple(out + [col[1]]), col[0], "id"
+    if parent in ("conv", "fc1", "fc2"):
+        return tuple(out + ["kernel" if leaf == "weight" else "bias"]), "params", (
+            "conv" if leaf == "weight" else "id")
+    if parent == "head_fc":
+        return tuple(out + ["kernel" if leaf == "weight" else "bias"]), "params", (
+            "linear" if leaf == "weight" else "id")
+    raise KeyError(f"unmapped RegNetY torch key: {key}")
+
+
+def regnety_torch_to_flax(state: Mapping[str, Any]) -> Dict[str, Dict]:
+    """Convert a timm RegNetY state dict (e.g. the published regnety_160 DeiT
+    teacher) to recnext_tpu.models.regnet.RegNetY {params, batch_stats}."""
+    flat = _unwrap(state)
+    params: Dict = {}
+    stats: Dict = {}
+    for k, v in flat.items():
+        mapped = _map_key_regnety(k)
+        if mapped is None:
+            continue
+        path, col, tr = mapped
+        _set(params if col == "params" else stats, path,
+             _transform(v, tr).astype(np.float32))
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Dict]:
     """Load a .pth checkpoint file and convert (CPU-only torch load)."""
     import torch
