@@ -93,6 +93,11 @@ def parse_args(argv=None):
                         "(moganet save_recovery counterpart); 0 = off")
     p.add_argument("--wandb", action="store_true",
                    help="log to wandb if installed (reference main.py:192-200)")
+    # multi-host (jax.distributed; the torchrun/SLURM init of utils.py:202-224)
+    p.add_argument("--dist-coordinator", default="",
+                   help="coordinator host:port; enables jax.distributed.initialize")
+    p.add_argument("--dist-num-processes", type=int, default=0)
+    p.add_argument("--dist-process-id", type=int, default=-1)
     if cfg_args.config:
         import yaml
 
@@ -116,6 +121,12 @@ def main(argv=None):
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
             pass
+    # multi-host bring-up BEFORE any JAX backend use (utils.py:202-224 counterpart)
+    from recnext_tpu.parallel import init_distributed
+
+    init_distributed(coordinator=args.dist_coordinator,
+                     num_processes=args.dist_num_processes,
+                     process_id=args.dist_process_id)
     import optax
     import orbax.checkpoint as ocp
 
@@ -127,7 +138,13 @@ def main(argv=None):
         TrainTransform,
     )
     from recnext_tpu.models.registry import create_model
-    from recnext_tpu.parallel import batch_sharding, make_mesh, replicated, state_sharding
+    from recnext_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        put_batch,
+        replicated,
+        state_sharding,
+    )
     from recnext_tpu.train.optim import cosine_schedule, make_optimizer, scaled_lr
     from recnext_tpu.train.state import TrainState
     from recnext_tpu.train.step import make_eval_step, make_train_step
@@ -185,11 +202,24 @@ def main(argv=None):
     teacher_apply = None
     if distill:
         if args.teacher_model:
-            teacher = create_model(args.teacher_model, num_classes=nb_classes, dtype=dtype)
-            if args.teacher_ckpt.endswith((".pth", ".pt")):
-                from recnext_tpu.convert import load_torch_checkpoint
+            is_regnet = args.teacher_model.startswith("regnet")
+            if is_regnet:
+                # the reference recipe's teacher: timm regnety_160 (main.py:336-352)
+                from recnext_tpu.models.regnet import create_regnet
 
-                tvars = load_torch_checkpoint(args.teacher_ckpt)
+                teacher = create_regnet(args.teacher_model,
+                                        num_classes=nb_classes, dtype=dtype)
+            else:
+                teacher = create_model(args.teacher_model, num_classes=nb_classes, dtype=dtype)
+            if args.teacher_ckpt.endswith((".pth", ".pt")):
+                import torch
+
+                from recnext_tpu.convert import regnety_torch_to_flax, torch_to_flax
+
+                tstate = torch.load(args.teacher_ckpt, map_location="cpu",
+                                    weights_only=False)
+                tvars = (regnety_torch_to_flax(tstate) if is_regnet
+                         else torch_to_flax(tstate))
             elif args.teacher_ckpt:
                 tvars = ocp.StandardCheckpointer().restore(args.teacher_ckpt)
             else:
@@ -247,33 +277,42 @@ def main(argv=None):
         start_epoch = mgr.latest_step() + 1
         log(f"auto-resumed at epoch {start_epoch}")
 
+    n_proc = jax.process_count()
+    local_devices = max(n_dev // n_proc, 1)
+
     def run_eval():
-        tot = {"correct1": 0, "correct5": 0, "count": 0}
+        """Eval split strided by process; correct/loss/count are summed INSIDE the
+        jitted step (global psum), so every process reads identical totals."""
+        tot = {"correct1": 0, "correct5": 0, "count": 0, "loss_sum": 0.0}
         loader = eval_loader(val_ds, EvalTransform(args.input_size),
-                             batch_size=args.batch_size)
+                             batch_size=max(args.batch_size // n_proc, 1),
+                             rank=jax.process_index(), num_replicas=n_proc)
         for i, batch in enumerate(iter(loader)):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
-            if batch["image"].shape[0] % n_dev != 0:  # pad ragged tail
-                pad = n_dev - batch["image"].shape[0] % n_dev
+            if batch["image"].shape[0] % local_devices != 0:  # pad ragged tail
+                pad = local_devices - batch["image"].shape[0] % local_devices
                 pad_img = np.zeros((pad,) + batch["image"].shape[1:],
                                    batch["image"].dtype)
                 batch = {
                     "image": np.concatenate([batch["image"], pad_img]),
                     "label": np.concatenate([batch["label"], np.full((pad,), -1, np.int32)]),
                 }
-            m = jitted_eval(state, {k: jax.device_put(v, b_sh) for k, v in batch.items()})
+            m = jitted_eval(state, put_batch(batch, b_sh))
             tot["correct1"] += int(m["correct1"])
             tot["correct5"] += int(m["correct5"])
-            tot["count"] += int(np.sum(np.asarray(batch["label"]) >= 0))
+            tot["loss_sum"] += float(m["loss_sum"])
+            tot["count"] += int(m["count"])
         acc1 = 100.0 * tot["correct1"] / max(tot["count"], 1)
         acc5 = 100.0 * tot["correct5"] / max(tot["count"], 1)
-        return acc1, acc5
+        test_loss = tot["loss_sum"] / max(tot["count"], 1)
+        return acc1, acc5, test_loss
 
     if args.eval:
-        acc1, acc5 = run_eval()
-        log(json.dumps({"test_acc1": acc1, "test_acc5": acc5}))
-        return {"acc1": acc1, "acc5": acc5}
+        acc1, acc5, test_loss = run_eval()
+        log(json.dumps({"test_loss": test_loss, "test_acc1": acc1,
+                        "test_acc5": acc5}))
+        return {"acc1": acc1, "acc5": acc5, "test_loss": test_loss}
 
     key = jax.device_put(jax.random.PRNGKey(args.seed), r_sh)
     max_acc = 0.0
@@ -285,16 +324,16 @@ def main(argv=None):
                             reprob=args.reprob)
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        loader = train_loader(train_ds, tt, batch_size=args.batch_size, epoch=epoch,
-                              rank=jax.process_index(),
-                              num_replicas=jax.process_count(),
+        loader = train_loader(train_ds, tt,
+                              batch_size=max(args.batch_size // n_proc, 1),
+                              epoch=epoch, rank=jax.process_index(),
+                              num_replicas=n_proc,
                               repeated_aug=not args.no_repeated_aug, seed=args.seed)
         losses, seen = [], 0
         for i, batch in enumerate(iter(loader)):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
-            batch = {k: jax.device_put(v, b_sh) for k, v in batch.items()}
-            state, metrics = jitted_train(state, batch, key)
+            state, metrics = jitted_train(state, put_batch(batch, b_sh), key)
             if (i + 1) % args.log_every == 0:
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss):
@@ -316,10 +355,14 @@ def main(argv=None):
         if not np.isfinite(train_loss):
             raise SystemExit(f"Loss is {train_loss}, stopping training")
 
-        acc1, acc5 = run_eval()
+        acc1, acc5, test_loss = run_eval()
         max_acc = max(max_acc, acc1)
         lr_now = float(sched(int(np.asarray(jax.device_get(state.step)))))
-        stats = {"train_lr": lr_now, "train_loss": train_loss, "test_acc1": acc1,
+        # per-epoch keys match the reference's committed logs exactly
+        # (logs/normal/recnext_m1_without_distill_300e.txt:1 —
+        #  train_lr/train_loss/test_loss/test_acc1/test_acc5)
+        stats = {"train_lr": lr_now, "train_loss": train_loss,
+                 "test_loss": round(test_loss, 6), "test_acc1": acc1,
                  "test_acc5": acc5, "epoch": epoch, "n_parameters": n_parameters,
                  "epoch_time_s": round(time.time() - t0, 1),
                  "images_per_sec": round(seen / max(time.time() - t0, 1e-9), 1)}

@@ -115,10 +115,16 @@ def make_eval_step(model, *, ema: bool = False):
         variables = state.variables(ema=ema)
         logits = model.apply(variables, batch["image"], training=False)
         labels = batch["label"]
+        valid = labels >= 0  # padded tail rows carry label -1
         top5 = jnp.argsort(logits, axis=-1)[:, -5:]
-        acc1 = jnp.sum(top5[:, -1] == labels)
-        acc5 = jnp.sum(jnp.any(top5 == labels[:, None], axis=-1))
-        return {"correct1": acc1, "correct5": acc5,
-                "count": jnp.asarray(labels.shape[0], jnp.int32)}
+        acc1 = jnp.sum((top5[:, -1] == labels) & valid)
+        acc5 = jnp.sum(jnp.any(top5 == labels[:, None], axis=-1) & valid)
+        # summed CE loss over valid rows -> per-epoch test_loss (engine.py:78-109
+        # logs criterion(output, target); reference log key `test_loss`)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ce = -jnp.take_along_axis(logp, jnp.maximum(labels, 0)[:, None], axis=-1)[:, 0]
+        loss_sum = jnp.sum(jnp.where(valid, ce, 0.0))
+        return {"correct1": acc1, "correct5": acc5, "loss_sum": loss_sum,
+                "count": jnp.sum(valid.astype(jnp.int32))}
 
     return eval_step

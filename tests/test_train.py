@@ -205,3 +205,11 @@ def test_eval_step_counts():
     m = ev(state, batch)
     assert int(m["count"]) == 4
     assert 0 <= int(m["correct1"]) <= int(m["correct5"]) <= 4
+    assert np.isfinite(float(m["loss_sum"])) and float(m["loss_sum"]) > 0
+    # padded tail rows (label -1) contribute to nothing
+    padded = {"image": jnp.zeros((6, 32, 32, 3)),
+              "label": jnp.asarray([0, 0, 0, 0, -1, -1], jnp.int32)}
+    mp = ev(state, padded)
+    assert int(mp["count"]) == 4
+    assert float(mp["loss_sum"]) == pytest.approx(float(m["loss_sum"]), rel=1e-5)
+    assert int(mp["correct1"]) == int(m["correct1"])
