@@ -43,8 +43,18 @@ BASELINES = {  # RTX3090 fused img/s, /root/reference/upload.py:12-34
 }
 
 
+def _is_vmem_compile_error(e: Exception) -> bool:
+    msg = str(e)
+    return any(s in msg for s in ("RESOURCE_EXHAUSTED", "vmem", "VMEM", "Mosaic",
+                                  "scoped memory"))
+
+
 def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
-               warmup_s: float = 5.0, timed_s: float = 10.0, **model_kwargs) -> float:
+               warmup_s: float = 5.0, timed_s: float = 10.0,
+               auto_split: bool = True, **model_kwargs):
+    """Returns (images_per_sec, batch_used). If XLA's compile trips the scoped-VMEM
+    cliff at the requested batch (the known recnext_a* @512 Mosaic bug, PERF.md),
+    auto-retries at half the batch instead of failing the sweep."""
     from recnext_tpu.fusion import fuse_params
     from recnext_tpu.models.registry import create_model
 
@@ -65,8 +75,15 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
         return float(jnp.sum(xx[0, 0, 0]))
 
     x = jnp.ones((batch, 224, 224, 3), dtype)
-    x = step(fvars, x)
-    sync(x)  # compile + first exec
+    try:
+        x = step(fvars, x)
+        sync(x)  # compile + first exec
+    except Exception as e:  # graceful degradation instead of a compile cliff
+        if auto_split and batch > 8 and _is_vmem_compile_error(e):
+            return throughput(model_name, batch // 2, dtype=dtype,
+                              warmup_s=warmup_s, timed_s=timed_s,
+                              auto_split=auto_split, **model_kwargs)
+        raise
     # calibrate with a few synced iterations
     t0 = time.perf_counter()
     ncal = 3
@@ -80,13 +97,19 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
     for _ in range(iters):
         x = step(fvars, x)
     sync(x)
-    return iters * batch / (time.perf_counter() - t0)
+    return iters * batch / (time.perf_counter() - t0), batch
 
 
 def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
-               **model_kwargs) -> float:
+               **model_kwargs) -> dict:
     """Batch-1 p50 latency (the iPhone/Core-ML latency counterpart measurement,
-    /root/reference/README.md:174-176): chained steps, per-iteration scalar drain."""
+    /root/reference/README.md:174-176): chained steps, per-iteration scalar drain.
+
+    Over the axon tunnel the per-dispatch round-trip (26-54 ms) dwarfs on-chip
+    compute, so the RAW p50 is an environment artifact (PERF.md). We measure the
+    RTT floor with an identically-synced trivial computation and report both the
+    raw number and the RTT-subtracted estimate, flagged environment_limited when
+    the floor dominates."""
     import numpy as np
 
     from recnext_tpu.models.registry import create_model
@@ -99,16 +122,28 @@ def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
         y = fused.apply(v, x, training=False)
         return x + (0.0 * jnp.sum(y)).astype(x.dtype)
 
+    @jax.jit
+    def noop(x):
+        return x + 1.0
+
+    def timed_loop(fn, x0, n):
+        x = fn(x0)
+        float(jnp.sum(x[0, 0, 0]))  # compile + drain
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            x = fn(x)
+            float(jnp.sum(x[0, 0, 0]))
+            times.append(time.perf_counter() - t0)
+        return float(np.percentile(np.asarray(times) * 1e3, 50))
+
     x = jnp.ones((1, 224, 224, 3), dtype)
-    x = step(fvars, x)
-    float(jnp.sum(x[0, 0, 0]))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        x = step(fvars, x)
-        float(jnp.sum(x[0, 0, 0]))
-        times.append(time.perf_counter() - t0)
-    return float(np.percentile(np.asarray(times) * 1e3, 50))
+    rtt_floor = timed_loop(noop, x, iters)
+    p50 = timed_loop(lambda xx: step(fvars, xx), x, iters)
+    compute_est = max(p50 - rtt_floor, 0.0)
+    return {"p50_ms": p50, "rtt_floor_ms": rtt_floor,
+            "compute_est_ms": compute_est,
+            "environment_limited": bool(rtt_floor > 0.3 * p50)}
 
 
 def train_throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
@@ -169,9 +204,17 @@ def main():
     if args.model.startswith("recnext_m"):
         kw["recconv_upsample"] = args.upsample
     if args.latency:
-        ms = latency_ms(args.model, **kw)
-        print(json.dumps({"metric": f"{args.model}_fused_bf16_224_batch1_p50",
-                          "value": round(ms, 3), "unit": "ms", "vs_baseline": None}))
+        lat = latency_ms(args.model, **kw)
+        rec = {"metric": f"{args.model}_fused_bf16_224_batch1_p50",
+               "value": round(lat["p50_ms"], 3), "unit": "ms",
+               "vs_baseline": None,
+               "rtt_floor_ms": round(lat["rtt_floor_ms"], 3),
+               "compute_est_ms": round(lat["compute_est_ms"], 3)}
+        if lat["environment_limited"]:
+            rec["environment_limited"] = True
+            rec["caveat"] = ("dominated by per-dispatch tunnel RTT, not on-chip "
+                             "compute; use compute_est_ms")
+        print(json.dumps(rec))
         return
     if args.train:
         ips = train_throughput(args.model, args.batch, timed_s=args.timed, **kw)
@@ -179,15 +222,20 @@ def main():
                           "value": round(ips, 2), "unit": "images/sec",
                           "vs_baseline": None}))
         return
-    ips = throughput(args.model, args.batch, warmup_s=args.warmup,
-                     timed_s=args.timed, **kw)
+    ips, used_batch = throughput(args.model, args.batch, warmup_s=args.warmup,
+                                 timed_s=args.timed, **kw)
     base = BASELINES.get(args.model)
-    print(json.dumps({
+    rec = {
         "metric": f"{args.model}_fused_bf16_224_images_per_sec",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / base, 3) if base else None,
-    }))
+    }
+    if used_batch != args.batch:
+        rec["batch_used"] = used_batch
+        rec["caveat"] = (f"requested batch {args.batch} tripped an XLA scoped-VMEM "
+                         f"compile failure; auto-split to {used_batch}")
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

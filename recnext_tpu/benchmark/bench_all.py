@@ -27,15 +27,22 @@ def main(argv=None):
     rows = []
     for name in args.models:
         kw = {"recconv_upsample": "matmul"} if name.startswith("recnext_m") else {}
-        ips = bench_mod.throughput(name, args.batch, timed_s=args.timed, **kw)
+        ips, used_batch = bench_mod.throughput(name, args.batch,
+                                               timed_s=args.timed, **kw)
         row = {"model": name, "images_per_sec": round(ips, 1),
-               "batch": args.batch}
+               "batch": used_batch}
+        if used_batch != args.batch:
+            row["batch_auto_split"] = True  # scoped-VMEM compile cliff (PERF.md)
         base = bench_mod.BASELINES.get(name)
         if base:
             row["rtx3090_baseline"] = base
             row["vs_baseline"] = round(ips / base, 3)
         if args.latency:
-            row["batch1_p50_ms"] = round(bench_mod.latency_ms(name, **kw), 3)
+            lat = bench_mod.latency_ms(name, **kw)
+            row["batch1_p50_ms"] = round(lat["p50_ms"], 3)
+            row["batch1_compute_est_ms"] = round(lat["compute_est_ms"], 3)
+            if lat["environment_limited"]:
+                row["latency_environment_limited"] = True
         rows.append(row)
         print(json.dumps(row), flush=True)
     Path(args.out).write_text(json.dumps(rows, indent=2))
