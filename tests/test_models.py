@@ -146,6 +146,42 @@ def test_torch_fused_checkpoint_import(family):
     np.testing.assert_allclose(y_j, y_t, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_full_m0_parity_at_224():
+    """North-star parity path (PARITY.md): the FULL recnext_m0 config at 224² —
+    the exact model/size the published-checkpoint eval uses (fuse_eval.py:33-55) —
+    golden vs the reference source, both unfused and through the published-fused
+    import path. Only the real checkpoint artifact is missing (no egress)."""
+    from recnext_tpu.convert import torch_fused_to_flax
+    from recnext_tpu.models.registry import get_config
+
+    cfg = get_config("recnext_m0", num_classes=1000)
+    torch.manual_seed(7)
+    tm = _torch_model("m", cfg).eval()
+    _randomize_bn_stats(tm, seed=7)
+
+    x_t = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        y_t = tm(x_t).numpy()
+
+    variables = torch_to_flax(tm.state_dict())
+    fm = RecNext(cfg=cfg)
+    y_j = np.asarray(jax.jit(
+        lambda v, x: fm.apply(v, x, training=False))(variables,
+                                                     jnp.asarray(to_nhwc(x_t))))
+    np.testing.assert_allclose(y_j, y_t, atol=5e-4, rtol=1e-4)
+
+    tm.fuse()
+    fused_vars = torch_fused_to_flax(tm.state_dict(), family="m")
+    with torch.no_grad():
+        y_tf = tm(x_t).numpy()
+    fmf = RecNext(cfg=cfg, fused=True)
+    y_jf = np.asarray(jax.jit(
+        lambda v, x: fmf.apply(v, x, training=False))(fused_vars,
+                                                      jnp.asarray(to_nhwc(x_t))))
+    np.testing.assert_allclose(y_jf, y_tf, atol=5e-4, rtol=1e-4)
+
+
 def test_feature_pyramid_shapes():
     cfg = SMALL["m"]
     fm = RecNext(cfg=cfg)
