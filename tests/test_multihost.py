@@ -1,0 +1,137 @@
+"""Multi-host data parallelism: the training CLI runs as TWO real OS processes
+coordinated by jax.distributed over localhost (Gloo CPU collectives), each process
+contributing its local batch shard via jax.make_array_from_process_local_data.
+
+This is the executable counterpart of the reference's torchrun path
+(utils.py:202-224 init_distributed_mode + per-rank DataLoader): rank discovery ->
+jax.distributed.initialize, DDP all-reduce -> psum-under-jit over the global mesh,
+per-rank sampler striding -> loader(rank=process_index).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        env.pop("PYTEST_CURRENT_TEST", None)
+        out = tmp_path / f"p{pid}"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "recnext_tpu.train.main",
+             "--model", "recnext_m0", "--data-set", "FAKE",
+             "--fake-classes", "8", "--epochs", "1", "--batch-size", "8",
+             "--input-size", "32", "--steps-per-epoch", "2", "--simple-aug",
+             "--no-model-ema", "--log-every", "1",
+             "--dist-coordinator", f"localhost:{port}",
+             "--dist-num-processes", "2", "--dist-process-id", str(pid),
+             "--output-dir", str(out)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+
+    # only process 0 logs (is_main gating); it must report 2 processes / 4 devices
+    main_out = outputs[0]
+    assert "processes: 2" in main_out and "devices: 4" in main_out
+    log = tmp_path / "p0" / "log.txt"
+    rec = json.loads(log.read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"])
+    assert {"train_lr", "train_loss", "test_loss", "test_acc1",
+            "test_acc5"} <= set(rec)
+    # process 1 writes no log (is_main False) but participated in every collective
+    assert not (tmp_path / "p1" / "log.txt").exists()
+
+
+@pytest.mark.slow
+def test_two_process_metrics_agree(tmp_path):
+    """Both processes compute IDENTICAL global eval metrics from different local
+    shards — the summed-inside-jit design (psum) at work across process boundaries."""
+    port = _free_port()
+    script = r"""
+import os, sys
+pid = int(sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(sys.argv[2], num_processes=2, process_id=pid)
+import jax.numpy as jnp
+import numpy as np
+from recnext_tpu.models.recnext import RecNext, RecNextConfig
+from recnext_tpu.parallel import batch_sharding, make_mesh, put_batch, replicated, state_sharding
+from recnext_tpu.train.optim import make_optimizer
+from recnext_tpu.train.state import TrainState
+from recnext_tpu.train.step import make_eval_step
+
+cfg = RecNextConfig(name="t", family="m", embed_dim=(8, 16, 32, 64),
+                    depth=(1, 0, 1, 0), mlp_ratio=(2, 2, 2, 2), num_classes=7)
+model = RecNext(cfg=cfg)
+variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+tx = make_optimizer(1e-3)
+state = TrainState.create(variables, tx, ema=False)
+mesh = make_mesh(4)
+st_sh = state_sharding(state, mesh)
+b_sh = batch_sharding(mesh)
+state = jax.device_put(state, st_sh)
+ev = jax.jit(make_eval_step(model), in_shardings=(st_sh, {"image": b_sh, "label": b_sh}),
+             out_shardings=replicated(mesh))
+# deterministic global batch of 8: each process contributes rows [4*pid, 4*pid+4)
+g = np.random.default_rng(42)
+full = g.normal(size=(8, 32, 32, 3)).astype(np.float32)
+labels = np.arange(8, dtype=np.int32) % 7
+local = {"image": full[4 * pid:4 * pid + 4], "label": labels[4 * pid:4 * pid + 4]}
+m = ev(state, put_batch(local, b_sh))
+print(f"RESULT {pid} {int(m['count'])} {float(m['loss_sum']):.6f} "
+      f"{int(m['correct1'])}", flush=True)
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env.pop("PYTEST_CURRENT_TEST", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", script, str(pid), f"localhost:{port}"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    results = {}
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        results[pid] = line.split()[2:]
+    # both processes see the same GLOBAL totals over the full 8-row batch
+    assert results[0] == results[1]
+    assert int(results[0][0]) == 8
