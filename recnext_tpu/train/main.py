@@ -73,6 +73,12 @@ def parse_args(argv=None):
     # data
     p.add_argument("--data-set", default="IMNET", choices=["IMNET", "CIFAR", "FOLDER", "FAKE"])
     p.add_argument("--data-path", default="")
+    p.add_argument("--loader", default="thread", choices=["thread", "grain"],
+                   help="input pipeline: in-process thread prefetcher, or grain "
+                        "with worker processes (production ImageNet path; no "
+                        "repeated-aug sampling)")
+    p.add_argument("--workers", type=int, default=8,
+                   help="grain worker processes (--loader grain only)")
     p.add_argument("--output-dir", default="runs/default")
     p.add_argument("--resume", default="")
     p.add_argument("--eval", action="store_true")
@@ -324,11 +330,20 @@ def main(argv=None):
                             reprob=args.reprob)
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        loader = train_loader(train_ds, tt,
-                              batch_size=max(args.batch_size // n_proc, 1),
-                              epoch=epoch, rank=jax.process_index(),
-                              num_replicas=n_proc,
-                              repeated_aug=not args.no_repeated_aug, seed=args.seed)
+        if args.loader == "grain":
+            from recnext_tpu.data.grain_loader import build_grain_loader
+
+            loader = build_grain_loader(
+                train_ds, tt, batch_size=max(args.batch_size // n_proc, 1),
+                seed=args.seed + epoch, shuffle=True, num_epochs=1,
+                worker_count=args.workers, rank=jax.process_index(),
+                num_replicas=n_proc)
+        else:
+            loader = train_loader(train_ds, tt,
+                                  batch_size=max(args.batch_size // n_proc, 1),
+                                  epoch=epoch, rank=jax.process_index(),
+                                  num_replicas=n_proc,
+                                  repeated_aug=not args.no_repeated_aug, seed=args.seed)
         losses, seen = [], 0
         for i, batch in enumerate(iter(loader)):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
