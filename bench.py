@@ -51,22 +51,35 @@ def _is_vmem_compile_error(e: Exception) -> bool:
 
 def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
                warmup_s: float = 5.0, timed_s: float = 10.0,
-               auto_split: bool = True, **model_kwargs):
+               auto_split: bool = True, packed: bool = True, **model_kwargs):
     """Returns (images_per_sec, batch_used). If XLA's compile trips the scoped-VMEM
     cliff at the requested batch (the known recnext_a* @512 Mosaic bug, PERF.md),
-    auto-retries at half the batch instead of failing the sweep."""
-    from recnext_tpu.fusion import fuse_params
-    from recnext_tpu.models.registry import create_model
+    auto-retries at half the batch instead of failing the sweep.
 
+    For the m family, `packed` (default) uses the lane-packed executor
+    (models/packed_infer.py) — numerically exact vs model.apply and measured
+    +16% on m1 (PERF.md round 2)."""
+    from recnext_tpu.fusion import fuse_params
+    from recnext_tpu.models.registry import create_model, get_config
+
+    cfg = get_config(model_name, **{k: v for k, v in model_kwargs.items()
+                                    if k != "dtype"})
     fused = create_model(model_name, fused=True, dtype=dtype, **model_kwargs)
     fvars = jax.device_put(_bench_variables(model_name, dtype, **model_kwargs))
+
+    if packed and cfg.family == "m":
+        from recnext_tpu.models.packed_infer import packed_apply
+
+        apply_fn = lambda v, x: packed_apply(v, cfg, x)
+    else:
+        apply_fn = lambda v, x: fused.apply(v, x, training=False)
 
     # Chained step: the next input depends on the previous logits, so every
     # iteration is a distinct computation — defeats any dispatch dedup/caching in
     # the remote runtime and keeps the device pipeline full (see PERF.md).
     @jax.jit
     def step(v, x):
-        y = fused.apply(v, x, training=False)
+        y = apply_fn(v, x)
         return x + (0.0 * jnp.sum(y)).astype(x.dtype)
 
     def sync(xx):
@@ -82,7 +95,8 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
         if auto_split and batch > 8 and _is_vmem_compile_error(e):
             return throughput(model_name, batch // 2, dtype=dtype,
                               warmup_s=warmup_s, timed_s=timed_s,
-                              auto_split=auto_split, **model_kwargs)
+                              auto_split=auto_split, packed=packed,
+                              **model_kwargs)
         raise
     # calibrate with a few synced iterations
     t0 = time.perf_counter()
@@ -198,6 +212,8 @@ def main():
     p.add_argument("--timed", type=float, default=10.0)
     p.add_argument("--warmup", type=float, default=5.0)
     p.add_argument("--upsample", default="matmul", choices=["gather", "matmul"])
+    p.add_argument("--no-packed", action="store_true",
+                   help="disable the lane-packed m-family executor")
     args = p.parse_args()
 
     kw = {}
@@ -223,7 +239,8 @@ def main():
                           "vs_baseline": None}))
         return
     ips, used_batch = throughput(args.model, args.batch, warmup_s=args.warmup,
-                                 timed_s=args.timed, **kw)
+                                 timed_s=args.timed, packed=not args.no_packed,
+                                 **kw)
     base = BASELINES.get(args.model)
     rec = {
         "metric": f"{args.model}_fused_bf16_224_images_per_sec",

@@ -132,6 +132,71 @@ class FakeData:
         return Image.fromarray(arr, "RGB"), label
 
 
+class TarImageFolder:
+    """ImageNet-in-a-tar (timm DatasetTar counterpart, reference
+    data/datasets.py:72-76: `train.tar` / `val.tar` holding class-dir/image
+    entries). The tar is indexed once at init; members are read on demand with a
+    per-worker reopened handle (tarfile handles are not thread-safe)."""
+
+    def __init__(self, tar_path: str):
+        import tarfile
+        import threading
+
+        self.path = str(tar_path)
+        self._local = threading.local()
+        with tarfile.open(self.path) as tf:
+            entries = []
+            for m in tf.getmembers():
+                if not m.isfile():
+                    continue
+                parts = m.name.split("/")
+                if len(parts) < 2:
+                    continue
+                if "." + parts[-1].rsplit(".", 1)[-1].lower() not in IMG_EXTENSIONS:
+                    continue
+                entries.append((m.name, parts[-2]))
+        entries.sort()
+        classes = sorted({c for _, c in entries})
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples = [(name, self.class_to_idx[c]) for name, c in entries]
+        self.nb_classes = len(classes)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _tar(self):
+        import tarfile
+
+        if getattr(self._local, "tf", None) is None:
+            self._local.tf = tarfile.open(self.path)
+        return self._local.tf
+
+    def __getitem__(self, i: int):
+        from PIL import Image
+
+        name, label = self.samples[i]
+        data = self._tar().extractfile(name).read()
+        img = Image.open(io.BytesIO(data))
+        img.load()
+        return img, label
+
+
+class RepeatDataset:
+    """Repeat a dataset n times (reference FLOWERS: ConcatDataset x100 so an epoch
+    is a reasonable length on a 1k-image set, data/datasets.py:84-89)."""
+
+    def __init__(self, dataset, repeats: int):
+        self.dataset = dataset
+        self.repeats = repeats
+        self.nb_classes = getattr(dataset, "nb_classes", None)
+
+    def __len__(self):
+        return len(self.dataset) * self.repeats
+
+    def __getitem__(self, i: int):
+        return self.dataset[i % len(self.dataset)]
+
+
 class SegFolder:
     """ADE20K-style segmentation layout: <root>/images/<split>/*.jpg paired with
     <root>/annotations/<split>/*.png (label PNGs, 0 = ignore -> remapped to 255,
@@ -171,9 +236,21 @@ def build_dataset(is_train: bool, data_set: str, data_path: str,
         ds = CIFAR100(data_path, train=is_train)
         return ds, 100
     if data_set == "IMNET":
-        root = Path(data_path) / ("train" if is_train else "val")
-        ds = ImageFolder(str(root))
+        prefix = "train" if is_train else "val"
+        tar = Path(data_path) / f"{prefix}.tar"
+        if tar.exists():  # timm-tar layout (reference datasets.py:72-76)
+            return TarImageFolder(str(tar)), 1000
+        ds = ImageFolder(str(Path(data_path) / prefix))
         return ds, 1000
+    if data_set == "IMNETEE":
+        root = Path(data_path) / ("train" if is_train else "val")
+        return ImageFolder(str(root)), 10
+    if data_set == "FLOWERS":
+        root = Path(data_path) / ("train" if is_train else "test")
+        ds = ImageFolder(str(root))
+        if is_train:
+            ds = RepeatDataset(ds, 100)
+        return ds, 102
     if data_set == "FOLDER":
         root = Path(data_path) / ("train" if is_train else "val")
         ds = ImageFolder(str(root))

@@ -1,0 +1,173 @@
+"""Lane-packed fused-inference executor for the M family — the stage-0/1/2
+sub-128-lane squeeze (PERF.md round-2 experiments).
+
+Why: TPU vector registers are 8x128; NHWC puts channels on the 128-wide lane
+axis. m1's stages run at C = 48/96/192 -> 37.5%/75%/75% lane utilization for
+every VPU-bound depthwise conv (RecConv's 5x5s, the 7x7 downsamples). Depthwise
+convs, per-channel affines and GELU are CHANNEL-INDEPENDENT, so g images can be
+folded into the channel axis: (B,H,W,C) -> (B/g, H, W, g*C) with kernels tiled
+g times — picking g = lcm(C,128)/C makes every tensor an exact multiple of 128
+lanes. The dense 1x1 mlp convs become feature_group_count=g grouped convs (one
+group per packed image), which is exact, and the stride-2 grouped downsample
+convs tile the same way.
+
+The trick needs NO repacking between stages: the downsample doubles C while g
+stays fixed, so lane width is constant from stage 0 on. One pack after the stem,
+one free reshape before the classifier (global pooling commutes with packing).
+
+Numerically EXACT vs RecNext(fused=True).apply for the m family (same params,
+same op order) — asserted in tests/test_packed_infer.py. Inference-only: BN is
+already folded into affines/conv biases in the fused layout, so there are no
+cross-image batch statistics to corrupt.
+
+Reference counterpart: none (deployment-engine optimization, like the
+reference's CoreML/TensorRT export paths — /root/reference/export_coreml.py).
+"""
+
+from __future__ import annotations
+
+from math import gcd
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from recnext_tpu.models.layers import gelu
+from recnext_tpu.models.recnext import RecNextConfig
+from recnext_tpu.ops.conv import conv2d
+from recnext_tpu.ops.recconv import rec_conv2d
+
+
+def lane_group(c: int, batch: int, max_group: int = 16) -> int:
+    """Smallest g with (g*c) % 128 == 0, capped by batch divisibility."""
+    g = 128 // gcd(c, 128)
+    while g > 1 and (batch % g != 0 or g > max_group):
+        g //= 2
+    return max(g, 1)
+
+
+def default_groups(cfg: RecNextConfig, batch: int) -> Tuple[int, ...]:
+    """Measured policy (PERF.md round 2): packing pays only where the grouped
+    1x1 mlp stays MXU-efficient — contraction >= 128 — AND lanes are misaligned.
+    Sub-128-channel stages lose 12x on the grouped mlp (lane-split relayout), so
+    they stay unpacked. For m1 this selects (1, 1, 2, 1): stage 2 only."""
+    out = []
+    for c in cfg.embed_dim:
+        if c >= 128 and c % 128 != 0:
+            out.append(lane_group(c, batch, max_group=4))
+        else:
+            out.append(1)
+    return tuple(out)
+
+
+def pack(x: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (B/g,H,W,g*C); image i of a group occupies channel block i."""
+    if g == 1:
+        return x
+    return jnp.concatenate([x[i::g] for i in range(g)], axis=-1)
+
+
+def unpack(z: jnp.ndarray, g: int, orig_batch: int) -> jnp.ndarray:
+    if g == 1:
+        return z
+    parts = jnp.split(z, g, axis=-1)
+    out = jnp.stack(parts, axis=1)
+    return out.reshape((orig_batch,) + z.shape[1:-1] + (z.shape[-1] // g,))
+
+
+def _tile(w: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Tile per-channel params (last axis) g times for the packed layout."""
+    if g == 1:
+        return w
+    reps = (1,) * (w.ndim - 1) + (g,)
+    return jnp.tile(w, reps)
+
+
+def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
+                 *, group: Optional[int] = None,
+                 groups: Optional[Tuple[int, ...]] = None) -> jnp.ndarray:
+    """Fused-inference forward for family 'm', numerically identical to
+    RecNext(cfg, fused=True).apply(variables, x, training=False).
+
+    `groups` gives the per-stage packing factor (1 = plain layout). Defaults to
+    the measured `default_groups` policy; `group` forces one factor everywhere."""
+    assert cfg.family == "m", "packed inference implemented for the m family"
+    p = variables["params"]
+    B = x.shape[0]
+    if group is not None:
+        stage_groups = (group,) * 4
+    elif groups is not None:
+        stage_groups = groups
+    else:
+        stage_groups = default_groups(cfg, B)
+    dt = x.dtype
+
+    def cv(params, x, **kw):
+        return conv2d(x, jnp.asarray(params["kernel"], dt),
+                      params.get("bias"), **kw)
+
+    # stem: dense convs at full resolution, unpacked
+    s = p["stem"]
+    x = gelu(cv(s["conv1"]["conv"], x, stride=2, padding=1))
+    x = cv(s["conv2"]["conv"], x, stride=2, padding=1)
+
+    def affine(params, x, g):
+        scale = _tile(jnp.asarray(params["scale"], dt), g)
+        shift = _tile(jnp.asarray(params["shift"], dt), g)
+        return x * scale + shift
+
+    def mlp(params, x, g):
+        h = cv({"kernel": _tile(jnp.asarray(params["fc1"]["conv"]["kernel"], dt), g),
+                "bias": _tile(jnp.asarray(params["fc1"]["conv"]["bias"], dt), g)},
+               x, groups=g)
+        h = gelu(h)
+        return cv({"kernel": _tile(jnp.asarray(params["fc2"]["conv"]["kernel"], dt), g),
+                   "bias": _tile(jnp.asarray(params["fc2"]["conv"]["bias"], dt), g)},
+                  h, groups=g)
+
+    def re_group(x, g, target):
+        if target == g:
+            return x, g
+        if g != 1:
+            x = unpack(x, g, B)
+        return (pack(x, target) if target != 1 else x), target
+
+    g = 1
+    for i, (dim, depth) in enumerate(zip(cfg.embed_dim, cfg.depth)):
+        if i > 0:
+            # downsamples run UNPACKED: measured on v5e, packing them loses
+            # (m1 8801 img/s vs 9390 with stage-blocks-only packing) — the 28²
+            # pack transition costs more than the packed 7x7 dw conv saves.
+            ds_g = 1
+            x, g = re_group(x, g, ds_g)
+            d = p[f"downsample_{i}"]
+            cin = d["token_mixer"]["kernel"].shape[-1] // 2  # (7,7,1,2*cin)
+            y = conv2d(x, _tile(jnp.asarray(d["token_mixer"]["kernel"], dt), g),
+                       _tile(jnp.asarray(d["token_mixer"]["bias"], dt), g),
+                       stride=2, padding=3, groups=g * cin)
+            y = affine(d["norm"], y, g)
+            x = y + mlp(d["channel_mixer"], y, g)
+        x, g = re_group(x, g, stage_groups[i])
+        level = 4 - i
+        for j in range(depth):
+            bp = p[f"stage{i}_block{j}"]
+            tm = bp["token_mixer"]
+            y = rec_conv2d(
+                x,
+                _tile(jnp.asarray(tm["down_kernel"], dt), g),
+                tuple(_tile(jnp.asarray(tm[f"conv{l}_kernel"], dt), g)
+                      for l in range(level + 1)),
+                level=level,
+                upsample=cfg.recconv_upsample,
+            )
+            y = affine(bp["norm"], y, g)
+            y = mlp(bp["channel_mixer"], y, g)
+            x = x + y
+
+    # global pool; (B/g, g*C) -> (B, C) is a pure reshape under this packing
+    x = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(dt)
+    x = x.reshape(B, cfg.embed_dim[-1])  # exact: pack order is g-major in batch
+    if cfg.num_classes <= 0:
+        return x
+    h = p["head"]["head"]["linear"]
+    return x @ jnp.asarray(h["kernel"], dt) + jnp.asarray(h["bias"], dt)

@@ -14,6 +14,7 @@ single-dispatch Pallas variant lives in recnext_tpu/ops/pallas/recconv.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -122,6 +123,146 @@ def rec_conv2d_transpose_up(
         acc = _depthwise_conv_transpose2d(h, up_w, stride=2, padding=pad)
     out = inp if acc is None else inp + acc
     return depthwise_conv2d(out, conv_ws[level], stride=1, padding=pad)
+
+
+def rec_conv2d_maxpool(
+    x: jnp.ndarray,
+    conv_ws: tuple[jnp.ndarray, ...],   # level+1 depthwise kernels, coarsest-first
+    *,
+    level: int,
+) -> jnp.ndarray:
+    """RecConv 'maxpool/unpool' alternate (documented dead code in the reference,
+    /root/reference/model/recnext.py:443-470): stride-2 max-pool downsample with
+    argmax indices, max-unpool (scatter to the argmax position) upsample. Fewer
+    params (no down kernel), 'higher gpu throughput ... but not coreml friendly'.
+
+    TPU-first: the 2x2 pool/unpool pair is a reshape to (..., 2, 2, ...) windows +
+    argmax one-hot — fixed shapes, no dynamic scatter. Requires even H/W at every
+    level (the comment's power-of-two resolutions)."""
+    assert len(conv_ws) == level + 1
+    k = int(conv_ws[0].shape[0])
+    pad = k // 2
+
+    inp = x
+    feats = []
+    for _ in range(level):
+        b, h, w_, c = x.shape
+        win = x.reshape(b, h // 2, 2, w_ // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        win = win.reshape(b, h // 2, w_ // 2, 4, c)
+        idx = jnp.argmax(win, axis=3)  # first max on ties, like torch
+        x = jnp.max(win, axis=3)
+        feats.append((x, idx, (h, w_)))
+
+    acc = None
+    for lvl, (f, idx, (h, w_)) in enumerate(reversed(feats)):
+        y = f if acc is None else f + acc
+        y = depthwise_conv2d(y, conv_ws[lvl], stride=1, padding=pad)
+        hot = jax.nn.one_hot(idx, 4, dtype=y.dtype)      # (b, h/2, w/2, c, 4)
+        hot = jnp.moveaxis(hot, -1, 3)                   # (b, h/2, w/2, 4, c)
+        up = hot * y[:, :, :, None, :]
+        b = y.shape[0]
+        c = y.shape[-1]
+        up = up.reshape(b, h // 2, w_ // 2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        acc = up.reshape(b, h, w_, c)
+    out = inp if acc is None else inp + acc
+    return depthwise_conv2d(out, conv_ws[level], stride=1, padding=pad)
+
+
+def _grouped_conv_transpose2d(x, w_ct, *, groups, stride=2, padding=2):
+    """ConvTranspose2d with torch semantics for grouped kernels. w_ct is the torch
+    layout (in, out_per_group, kh, kw) already transposed to (kh, kw, out_per_group,
+    in); implemented as input dilation + regular conv with the flipped kernel."""
+    kh = int(w_ct.shape[0])
+    # equivalent forward kernel: flip spatial; (kh,kw,opg,in) -> HWIO (kh,kw,1?,out)
+    opg = int(w_ct.shape[2])
+    cin = int(w_ct.shape[3])
+    wf = w_ct[::-1, ::-1]                                  # spatial flip
+    # group-major output: group i (input channel block) -> out block i of size opg
+    wf = wf.transpose(0, 1, 3, 2)                          # (kh,kw,in,opg)
+    in_per_group = cin // groups
+    wf = wf.reshape(kh, kh, groups, in_per_group, opg)
+    wf = wf.transpose(0, 1, 3, 2, 4).reshape(kh, kh, in_per_group, groups * opg)
+    return lax.conv_general_dilated(
+        x, jnp.asarray(wf, x.dtype),
+        window_strides=(1, 1),
+        padding=[(kh - 1 - padding, kh - 1 - padding)] * 2,
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+def rec_conv2d_group_down(
+    x: jnp.ndarray,
+    down_ws: tuple[jnp.ndarray, ...],   # level kernels (k,k,2,C/2^(l+1)) HWIO
+    conv_ws: tuple[jnp.ndarray, ...],   # level+1 depthwise kernels, coarsest-first
+    up_ws: tuple[jnp.ndarray, ...],     # level CT kernels (k+1,k+1,2,C/2^(l+1)),
+                                        # coarsest-first
+    *,
+    level: int,
+) -> jnp.ndarray:
+    """RecConv 'Variant A' (documented dead code, reference model/recnext.py
+    "RecConv Variant A"): recursive decomposition on BOTH spatial and channel dims;
+    stride-2 group convs halve channels on the way down, grouped ConvTranspose2d
+    doubles them back on the way up."""
+    assert len(conv_ws) == level + 1 and len(down_ws) == level == len(up_ws)
+    k = int(conv_ws[0].shape[0])
+    pad = k // 2
+
+    inp = x
+    feats = []
+    for lvl in range(level):
+        cout = down_ws[lvl].shape[-1]
+        x = conv2d_grouped(x, down_ws[lvl], groups=cout, stride=2, padding=pad)
+        feats.append(x)
+
+    acc = None
+    for lvl, f in enumerate(reversed(feats)):
+        y = f if acc is None else f + acc
+        y = depthwise_conv2d(y, conv_ws[lvl], stride=1, padding=pad)
+        acc = _grouped_conv_transpose2d(y, up_ws[lvl], groups=y.shape[-1],
+                                        stride=2, padding=pad)
+    out = inp if acc is None else inp + acc
+    return depthwise_conv2d(out, conv_ws[level], stride=1, padding=pad)
+
+
+def rec_conv2d_split_transpose_up(
+    x: jnp.ndarray,
+    down_ws: tuple[jnp.ndarray, ...],   # level depthwise kernels, widths C/2^(l+1)
+    conv_ws: tuple[jnp.ndarray, ...],   # level+1 depthwise kernels, coarsest-first
+    up_ws: tuple[jnp.ndarray, ...],     # level depthwise CT kernels, coarsest-first
+    *,
+    level: int,
+) -> jnp.ndarray:
+    """RecConv 'Variant B' (documented dead code, reference model/recnext.py
+    "RecConv Variant B"): channel-split skip + stride-2 depthwise downsample,
+    depthwise ConvTranspose2d upsample + channel concat on the way back."""
+    assert len(conv_ws) == level + 1 and len(down_ws) == level == len(up_ws)
+    k = int(conv_ws[0].shape[0])
+    pad = k // 2
+
+    skips = []
+    for lvl in range(level):
+        c = x.shape[-1]
+        r, x2 = x[..., : c // 2], x[..., c // 2:]
+        x = depthwise_conv2d(x2, down_ws[lvl], stride=2, padding=pad)
+        skips.append(r)
+
+    for lvl, r in enumerate(reversed(skips)):
+        y = depthwise_conv2d(x, conv_ws[lvl], stride=1, padding=pad)
+        y = _depthwise_conv_transpose2d(y, up_ws[lvl], stride=2, padding=pad)
+        x = jnp.concatenate([r, y], axis=-1)
+    return depthwise_conv2d(x, conv_ws[level], stride=1, padding=pad)
+
+
+def conv2d_grouped(x, w, *, groups, stride=1, padding=0):
+    return lax.conv_general_dilated(
+        x, jnp.asarray(w, x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
 
 
 def _depthwise_conv_transpose2d(x, w, *, stride=2, padding=2):
