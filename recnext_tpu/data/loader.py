@@ -15,17 +15,35 @@ import numpy as np
 from recnext_tpu.data.samplers import distributed_eval_indices, ra_sampler_indices
 
 
-def _batches(dataset, transform, indices, batch_size, seed, drop_last):
+def _batches(dataset, transform, indices, batch_size, seed, drop_last,
+             aug_splits=0, clean_transform=None):
+    """aug_splits > 1 (timm AugMixDataset layout, moganet --aug-splits): each batch
+    holds `aug_splits` blocks over the SAME samples — block 0 through
+    clean_transform, the rest independently through `transform`; labels repeat
+    per block."""
     n = len(indices)
     end = n - (n % batch_size) if drop_last else n
     for start in range(0, end, batch_size):
         idx = indices[start : start + batch_size]
-        imgs, labels = [], []
-        for j, i in enumerate(idx):
-            rng = np.random.default_rng((seed, int(i), start + j))
-            img, label = dataset[int(i)]
-            imgs.append(transform(rng, img))
-            labels.append(label)
+        if aug_splits > 1:
+            blocks = [[] for _ in range(aug_splits)]
+            labels = []
+            for j, i in enumerate(idx):
+                img, label = dataset[int(i)]
+                labels.append(label)
+                for s in range(aug_splits):
+                    rng = np.random.default_rng((seed, int(i), start + j, s))
+                    t = clean_transform if s == 0 else transform
+                    blocks[s].append(t(rng, img))
+            imgs = [im for block in blocks for im in block]
+            labels = labels * aug_splits
+        else:
+            imgs, labels = [], []
+            for j, i in enumerate(idx):
+                rng = np.random.default_rng((seed, int(i), start + j))
+                img, label = dataset[int(i)]
+                imgs.append(transform(rng, img))
+                labels.append(label)
         yield {
             "image": np.stack(imgs).astype(np.float32),
             "label": np.asarray(labels, np.int32),
@@ -70,6 +88,8 @@ def train_loader(
     repeated_aug: bool = True,
     seed: int = 0,
     prefetch: int = 2,
+    aug_splits: int = 0,
+    clean_transform=None,
 ):
     if repeated_aug:
         indices = ra_sampler_indices(len(dataset), epoch, rank, num_replicas)
@@ -77,7 +97,9 @@ def train_loader(
         g = np.random.default_rng((seed, epoch))
         indices = g.permutation(len(dataset))[rank::num_replicas]
     factory = lambda: _batches(dataset, transform, indices, batch_size,
-                               seed=(seed, epoch), drop_last=True)
+                               seed=(seed, epoch), drop_last=True,
+                               aug_splits=aug_splits,
+                               clean_transform=clean_transform)
     return Prefetcher(factory, depth=prefetch)
 
 

@@ -83,7 +83,11 @@ class FusedAffine(nn.Module):
 
 
 class Conv2d(nn.Module):
-    """Plain conv with HWIO kernel and optional bias (torch Conv2d counterpart)."""
+    """Plain conv with HWIO kernel and optional bias (torch Conv2d counterpart).
+
+    kernel_init/bias_init override the He default — detection prediction layers
+    need mmdet's Normal(std=0.01) (+ focal-prior bias) or their initial outputs
+    inherit the full feature scale and the losses start ~50x too large."""
 
     out_channels: int
     kernel_size: int = 1
@@ -92,6 +96,8 @@ class Conv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    kernel_init: Any = None
+    bias_init: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -99,13 +105,15 @@ class Conv2d(nn.Module):
         k = self.kernel_size
         kernel = self.param(
             "kernel",
+            self.kernel_init or
             nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
             (k, k, cin // self.groups, self.out_channels),
             jnp.float32,
         )
         b = None
         if self.use_bias:
-            b = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+            b = self.param("bias", self.bias_init or nn.initializers.zeros,
+                           (self.out_channels,), jnp.float32)
         return conv2d(
             x.astype(self.dtype),
             kernel.astype(self.dtype),

@@ -87,10 +87,16 @@ class RetinaHead(nn.Module):
                             name=f"cls_conv{i}") for i in range(self.stacked_convs)]
         reg_convs = [Conv2d(self.channels, 3, padding=1, dtype=self.dtype,
                             name=f"reg_conv{i}") for i in range(self.stacked_convs)]
+        # mmdet RetinaHead init: prediction layers Normal(std=0.01); the cls bias
+        # is the focal-loss prior -log((1-pi)/pi), pi=0.01 -> background-heavy
+        # initial predictions instead of feature-scale garbage
+        init = nn.initializers.normal(0.01)
         cls_out = Conv2d(self.num_anchors * self.num_classes, 3, padding=1,
-                         dtype=self.dtype, name="cls_out")
+                         dtype=self.dtype, kernel_init=init,
+                         bias_init=nn.initializers.constant(-4.59512),
+                         name="cls_out")
         reg_out = Conv2d(self.num_anchors * 4, 3, padding=1, dtype=self.dtype,
-                         name="reg_out")
+                         kernel_init=init, name="reg_out")
         cls_scores, bbox_preds = [], []
         for f in feats:
             c = r = f

@@ -35,8 +35,13 @@ class RPNHead(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
         conv = Conv2d(self.channels, 3, padding=1, dtype=self.dtype, name="conv")
-        cls = Conv2d(self.num_anchors, 1, dtype=self.dtype, name="cls")
-        reg = Conv2d(self.num_anchors * 4, 1, dtype=self.dtype, name="reg")
+        # mmdet RPNHead: prediction layers Normal(std=0.01) so initial
+        # objectness/deltas are ~0 regardless of feature scale
+        init = nn.initializers.normal(0.01)
+        cls = Conv2d(self.num_anchors, 1, dtype=self.dtype, kernel_init=init,
+                     name="cls")
+        reg = Conv2d(self.num_anchors * 4, 1, dtype=self.dtype, kernel_init=init,
+                     name="reg")
         obj, deltas = [], []
         for f in feats:
             y = nn.relu(conv(f))
@@ -58,8 +63,12 @@ class BoxHead(nn.Module):
         x = rois.reshape(rois.shape[0], -1)
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x))
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(x))
-        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype, name="cls")(x)
-        reg = nn.Dense(4, dtype=self.dtype, name="reg")(x)  # class-agnostic deltas
+        # mmdet Shared2FCBBoxHead: fc_cls Normal(0.01), fc_reg Normal(0.001)
+        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.01), name="cls")(x)
+        reg = nn.Dense(4, dtype=self.dtype,
+                       kernel_init=nn.initializers.normal(0.001),
+                       name="reg")(x)  # class-agnostic deltas
         return cls, reg
 
 
@@ -79,7 +88,10 @@ class MaskHead(nn.Module):
         r, h, w, c = x.shape
         x = jax.image.resize(x, (r, h * 2, w * 2, c), method="nearest")
         x = nn.relu(Conv2d(self.channels, 3, padding=1, dtype=self.dtype, name="up")(x))
-        return Conv2d(self.num_classes, 1, dtype=self.dtype, name="logits")(x)
+        # small-init logits: initial mask probs ~0.5 (bce ~0.69) instead of
+        # inheriting the feature scale
+        return Conv2d(self.num_classes, 1, dtype=self.dtype,
+                      kernel_init=nn.initializers.normal(0.01), name="logits")(x)
 
 
 class MaskRCNN(nn.Module):
@@ -103,9 +115,15 @@ class MaskRCNN(nn.Module):
             self.mask_head = MaskHead(num_classes=self.num_classes, dtype=self.dtype,
                                       name="mask_head")
 
-    def __call__(self, x: jnp.ndarray, training: bool = False):
+    def __call__(self, x: jnp.ndarray, training: bool = False,
+                 gt_boxes: jnp.ndarray = None, gt_labels: jnp.ndarray = None):
         """Returns dict with rpn outputs, proposals (+valid), roi cls/reg (and mask
-        logits), for the loss function / postprocessing to consume."""
+        logits), for the loss function / postprocessing to consume.
+
+        Pass gt_boxes/gt_labels during training to splice the ground-truth boxes
+        into the trailing proposal slots — mmdet's add_gt_as_proposals=True, which
+        gives the box/mask heads positive RoIs before the RPN has learned
+        anything (without it the heads cold-start on pure background)."""
         img_hw = (x.shape[1], x.shape[2])
         feats = self.extractor(x, training=training)  # P2..P6
         obj, deltas = self.rpn(feats)
@@ -122,6 +140,18 @@ class MaskRCNN(nn.Module):
 
         proposals, valid = jax.vmap(per_image)(
             jax.lax.stop_gradient(obj), jax.lax.stop_gradient(deltas))
+
+        if gt_boxes is not None and gt_labels is not None:
+            g = gt_boxes.shape[1]
+
+            def splice(props, val, gtb, gv):
+                props = props.at[-g:].set(
+                    jnp.where(gv[:, None], gtb.astype(props.dtype), props[-g:]))
+                val = val.at[-g:].set(gv | val[-g:])
+                return props, val
+
+            proposals, valid = jax.vmap(splice)(
+                proposals, valid, gt_boxes, gt_labels >= 0)
 
         rois = jax.vmap(
             lambda f0, f1, f2, f3, b: multilevel_roi_align(
@@ -235,7 +265,8 @@ def paste_masks(mask_probs: np.ndarray, boxes: np.ndarray, orig_hw, scale: float
     return out
 
 
-def mask_rcnn_loss(outputs, batch, *, num_classes: int):
+def mask_rcnn_loss(outputs, batch, *, num_classes: int,
+                   return_components: bool = False):
     """RPN (BCE + smooth-L1, pos 0.7 / neg 0.3) + RoI head (CE over C+1 with
     background, smooth-L1 on positives) + mask BCE (matched-class channel vs the gt
     mask cropped to each positive proposal). batch: gt_boxes (B,G,4) pad -1,
@@ -249,7 +280,14 @@ def mask_rcnn_loss(outputs, batch, *, num_classes: int):
         t = pos.astype(jnp.float32)
         o = obj.astype(jnp.float32)
         bce = jnp.maximum(o, 0) - o * t + jnp.log1p(jnp.exp(-jnp.abs(o)))
-        bce = jnp.sum(jnp.where(valid_m, bce, 0.0)) / jnp.maximum(jnp.sum(valid_m), 1)
+        # mmdet samples 256 anchors at pos_fraction=0.5 (RandomSampler); the
+        # fixed-shape equivalent is the EXPECTATION of that sampled loss:
+        # equal pos/neg class weight. A plain mean gives positives ~0.2% of the
+        # gradient and the RPN never learns objectness.
+        neg = valid_m & ~pos
+        bce_pos = jnp.sum(jnp.where(pos, bce, 0.0)) / jnp.maximum(jnp.sum(pos), 1)
+        bce_neg = jnp.sum(jnp.where(neg, bce, 0.0)) / jnp.maximum(jnp.sum(neg), 1)
+        bce = 0.5 * (bce_pos + bce_neg)
         tgt = encode_boxes(anchors, gtb[idx])
         tgt = jnp.where(pos[:, None], tgt, 0.0)  # keep masked rows finite for grads
         reg = smooth_l1(deltas, tgt, pos)
@@ -269,7 +307,12 @@ def mask_rcnn_loss(outputs, batch, *, num_classes: int):
         labels = jnp.where(pos, gtl[best], num_classes)
         logp = jax.nn.log_softmax(cls.astype(jnp.float32), axis=-1)
         ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        ce = jnp.sum(jnp.where(valid_m, ce, 0.0)) / jnp.maximum(jnp.sum(valid_m), 1)
+        # mmdet samples 512 RoIs at pos_fraction=0.25; expectation-equivalent
+        # reweighting (plain mean drowns the rare positives in background CE)
+        neg = valid_m & ~pos
+        ce_pos = jnp.sum(jnp.where(pos, ce, 0.0)) / jnp.maximum(jnp.sum(pos), 1)
+        ce_neg = jnp.sum(jnp.where(neg, ce, 0.0)) / jnp.maximum(jnp.sum(neg), 1)
+        ce = 0.25 * ce_pos + 0.75 * ce_neg
         tgt = encode_boxes(props, gtb[best])
         tgt = jnp.where(pos[:, None], tgt, 0.0)
         reg_l = smooth_l1(reg, tgt, pos)
@@ -310,4 +353,8 @@ def mask_rcnn_loss(outputs, batch, *, num_classes: int):
             outputs["mask_logits"], batch["gt_boxes"], batch["gt_labels"],
             batch["gt_masks"]))
 
-    return rpn_loss + roi_loss + mask_loss
+    total = rpn_loss + roi_loss + mask_loss
+    if return_components:
+        return total, {"loss_rpn": rpn_loss, "loss_roi": roi_loss,
+                       "loss_mask": mask_loss}
+    return total

@@ -56,14 +56,19 @@ def synthetic_det_batch(rng: np.random.Generator, batch: int, img: int,
 
 
 def step_lr(base_lr: float, steps_per_epoch: int, decay_epochs=(8, 11),
-            factor: float = 0.1):
-    """mm 1x step schedule (by-epoch decays)."""
+            factor: float = 0.1, warmup_steps: int = 500,
+            warmup_ratio: float = 0.001):
+    """mm 1x step schedule: linear warmup (500 iters from ratio 0.001, the mmdet
+    default the reference configs inherit) + by-epoch decays."""
 
     def sched(step):
         epoch = step // steps_per_epoch
         lr = base_lr
         for e in decay_epochs:
             lr = jnp.where(epoch >= e, lr * factor, lr)
+        if warmup_steps > 0:
+            frac = jnp.minimum(step / warmup_steps, 1.0)
+            lr = lr * (warmup_ratio + (1.0 - warmup_ratio) * frac)
         return lr
 
     return sched
@@ -162,6 +167,8 @@ def main(argv=None):
     p.add_argument("--steps-per-epoch", type=int, default=0,
                    help="0 = one pass over the dataset (FAKE: 1000)")
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--decay-epochs", type=int, nargs="*", default=[8, 11],
+                   help="step-decay epochs (mm 1x default: 8 11)")
     p.add_argument("--weight-decay", type=float, default=0.05)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--img-size", type=int, default=512)
@@ -236,7 +243,8 @@ def main(argv=None):
     # ---- model + train step -----------------------------------------------
     cfg = get_config(args.backbone, num_classes=0)
     x0 = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
-    tx = optax.adamw(step_lr(args.lr, steps_per_epoch),
+    tx = optax.adamw(step_lr(args.lr, steps_per_epoch,
+                             decay_epochs=tuple(args.decay_epochs)),
                      weight_decay=args.weight_decay)
 
     if args.detector == "retinanet":
@@ -267,20 +275,24 @@ def main(argv=None):
         def loss_fn(params, batch_stats, batch, rng):
             out, mut = model.apply({"params": params, "batch_stats": batch_stats},
                                    batch["image"], training=True,
+                                   gt_boxes=batch["gt_boxes"],
+                                   gt_labels=batch["gt_labels"],
                                    mutable=["batch_stats"],
                                    rngs={"droppath": rng, "dropout": rng})
-            return mask_rcnn_loss(out, batch, num_classes=args.num_classes), \
-                mut["batch_stats"]
+            loss, comps = mask_rcnn_loss(out, batch, num_classes=args.num_classes,
+                                         return_components=True)
+            return loss, (mut["batch_stats"], comps)
 
         @jax.jit
         def train_step(state, batch):
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), state.step)
-            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.batch_stats, batch, rng)
+            (loss, (new_bs, comps)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            metrics = {"loss": loss, **comps}
             return state.replace(step=state.step + 1, params=params,
-                                 batch_stats=new_bs, opt_state=new_opt), {"loss": loss}
+                                 batch_stats=new_bs, opt_state=new_opt), metrics
 
         @jax.jit
         def predict_fn(variables_, images):
@@ -327,8 +339,11 @@ def main(argv=None):
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("image", "gt_boxes", "gt_labels", "gt_masks")}
             state, metrics = train_step(state, jb)
-            losses.append(float(metrics["loss"]))
-        rec = {"epoch": epoch, "train_loss": float(np.mean(losses)),
+            losses.append({k: float(v) for k, v in metrics.items()})
+        comp_means = {k: round(float(np.mean([l[k] for l in losses])), 4)
+                      for k in losses[0] if k != "loss"} if losses else {}
+        losses = [l["loss"] for l in losses]
+        rec = {"epoch": epoch, "train_loss": float(np.mean(losses)), **comp_means,
                "elapsed_s": round(time.time() - t0, 1)}
 
         if val_ds is not None and args.eval_every and \
@@ -339,7 +354,9 @@ def main(argv=None):
                 batch_size=args.batch_size, with_mask=with_mask,
                 max_images=args.eval_max_images,
                 score_thresh=args.eval_score_thresh)
-            rec.update({k: round(v, 4) for k, v in stats.items()})
+            # NaN = "no gt in this area range"; JSON has no NaN literal -> null
+            rec.update({k: (round(v, 4) if np.isfinite(v) else None)
+                        for k, v in stats.items()})
 
         mgr.save(epoch, args=ocp.args.StandardSave(jax.device_get(state)))
         print(json.dumps(rec), flush=True)

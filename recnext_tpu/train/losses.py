@@ -47,6 +47,27 @@ def binary_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
     return jnp.mean(jnp.sum(per, axis=-1) / logits.shape[-1])
 
 
+def jsd_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, *,
+                      num_splits: int = 3, alpha: float = 12.0,
+                      smoothing: float = 0.1) -> jnp.ndarray:
+    """timm JsdCrossEntropy counterpart (moganet --jsd-loss + --aug-splits path,
+    /root/reference/moganet_train.py): the batch holds `num_splits` blocks — block 0
+    is the clean view, the rest are augmented views of the SAME samples. Loss =
+    smoothed CE on the clean block + alpha * Jensen-Shannon consistency across the
+    blocks' softmax distributions (AugMix, Hendrycks et al. 2020)."""
+    n = logits.shape[0] // num_splits
+    parts = [logits[i * n:(i + 1) * n].astype(jnp.float32)
+             for i in range(num_splits)]
+    loss = label_smoothing_cross_entropy(parts[0], labels[:n], smoothing=smoothing)
+    probs = [jax.nn.softmax(p, axis=-1) for p in parts]
+    mean_p = jnp.clip(sum(probs) / num_splits, 1e-7, 1.0)
+    logm = jnp.log(mean_p)
+    # kl_div(log_mixture, p, 'batchmean') = sum(p * (log p - log m)) / n
+    kl = sum(jnp.sum(p * (jnp.log(jnp.clip(p, 1e-7, 1.0)) - logm)) / n
+             for p in probs) / num_splits
+    return loss + alpha * kl
+
+
 def distillation_loss(
     outputs,
     targets: jnp.ndarray,

@@ -61,6 +61,12 @@ def parse_args(argv=None):
     p.add_argument("--color-jitter", type=float, default=0.4)
     p.add_argument("--reprob", type=float, default=0.25)
     p.add_argument("--no-repeated-aug", action="store_true")
+    p.add_argument("--jsd-loss", action="store_true",
+                   help="JSD consistency loss over --aug-splits views "
+                        "(moganet --jsd-loss counterpart)")
+    p.add_argument("--aug-splits", type=int, default=0,
+                   help="augmentation splits per batch (0/1 = off); split 0 is "
+                        "the clean view")
     # distillation (losses.py defaults via main.py:96-104)
     p.add_argument("--distillation-type", default="none", choices=["none", "hard", "soft"])
     p.add_argument("--distillation-alpha", type=float, default=0.5)
@@ -241,10 +247,17 @@ def main(argv=None):
         switch_prob = 0.5
     else:
         switch_prob = 1.0 if args.cutmix > 0 else 0.0
+    if args.jsd_loss:
+        if args.aug_splits < 2:
+            raise SystemExit("--jsd-loss requires --aug-splits >= 2")
+        if distill:
+            raise SystemExit("--jsd-loss is incompatible with distillation")
+        use_mix = False
     train_step = make_train_step(
         model, tx, num_classes=nb_classes, teacher_apply=teacher_apply,
         distillation=args.distillation_type, alpha=args.distillation_alpha,
         tau=args.distillation_tau, mixup=use_mix,
+        jsd_splits=args.aug_splits if args.jsd_loss else 0,
         mixup_kwargs=dict(mixup_alpha=max(args.mixup, 1e-8),
                           cutmix_alpha=max(args.cutmix, 1e-8),
                           switch_prob=switch_prob),
@@ -339,11 +352,17 @@ def main(argv=None):
                 worker_count=args.workers, rank=jax.process_index(),
                 num_replicas=n_proc)
         else:
+            splits = args.aug_splits if args.jsd_loss else 0
+            local_bs = max(args.batch_size // n_proc, 1)
             loader = train_loader(train_ds, tt,
-                                  batch_size=max(args.batch_size // n_proc, 1),
+                                  batch_size=(local_bs // splits if splits > 1
+                                              else local_bs),
                                   epoch=epoch, rank=jax.process_index(),
                                   num_replicas=n_proc,
-                                  repeated_aug=not args.no_repeated_aug, seed=args.seed)
+                                  repeated_aug=not args.no_repeated_aug,
+                                  seed=args.seed, aug_splits=splits,
+                                  clean_transform=SimpleTrainTransform(
+                                      args.input_size) if splits > 1 else None)
         losses, seen = [], 0
         for i, batch in enumerate(iter(loader)):
             if args.steps_per_epoch and i >= args.steps_per_epoch:

@@ -35,6 +35,8 @@ def make_train_step(
     smoothing: float = 0.1,
     ema_decay: float = 0.99996,
     remat: bool = False,
+    jsd_splits: int = 0,
+    jsd_alpha: float = 12.0,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -61,6 +63,12 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, x, targets, teacher_logits, rngs):
         outputs, mut = apply_model(params, batch_stats, x, rngs)
+        if jsd_splits > 1:
+            # moganet --jsd-loss path: clean-split CE + JS consistency; excludes
+            # mixup/distillation by construction (as in the reference trainer)
+            loss = L.jsd_cross_entropy(outputs, targets, num_splits=jsd_splits,
+                                       alpha=jsd_alpha, smoothing=smoothing)
+            return loss, mut["batch_stats"]
         base = L.soft_target_cross_entropy if targets.ndim == 2 else (
             functools.partial(L.label_smoothing_cross_entropy, smoothing=smoothing)
         )
