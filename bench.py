@@ -56,7 +56,7 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
     cliff at the requested batch (the known recnext_a* @512 Mosaic bug, PERF.md),
     auto-retries at half the batch instead of failing the sweep.
 
-    For the m family, `packed` (default) uses the lane-packed executor
+    For the m and a families, `packed` (default) uses the lane-packed executor
     (models/packed_infer.py) — numerically exact vs model.apply and measured
     +16% on m1 (PERF.md round 2)."""
     from recnext_tpu.fusion import fuse_params
@@ -67,7 +67,7 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
     fused = create_model(model_name, fused=True, dtype=dtype, **model_kwargs)
     fvars = jax.device_put(_bench_variables(model_name, dtype, **model_kwargs))
 
-    if packed and cfg.family == "m":
+    if packed and cfg.family in ("m", "a"):
         from recnext_tpu.models.packed_infer import packed_apply
 
         apply_fn = lambda v, x: packed_apply(v, cfg, x)
@@ -213,7 +213,7 @@ def main():
     p.add_argument("--warmup", type=float, default=5.0)
     p.add_argument("--upsample", default="matmul", choices=["gather", "matmul"])
     p.add_argument("--no-packed", action="store_true",
-                   help="disable the lane-packed m-family executor")
+                   help="disable the lane-packed m/a-family executor")
     args = p.parse_args()
 
     kw = {}

@@ -1,5 +1,5 @@
-"""Lane-packed fused-inference executor for the M family — the stage-0/1/2
-sub-128-lane squeeze (PERF.md round-2 experiments).
+"""Lane-packed fused-inference executor for the M and A families — the
+stage-0/1/2 sub-128-lane squeeze (PERF.md round-2 experiments).
 
 Why: TPU vector registers are 8x128; NHWC puts channels on the 128-wide lane
 axis. m1's stages run at C = 48/96/192 -> 37.5%/75%/75% lane utilization for
@@ -14,6 +14,13 @@ convs tile the same way.
 The trick needs NO repacking between stages: the downsample doubles C while g
 stays fixed, so lane width is constant from stage 0 on. One pack after the stem,
 one free reshape before the classifier (global pooling commutes with packing).
+
+The A family packs too: RecAttn2d is a composition of channel-independent ops
+(depthwise down/pe/out convs) and PER-HEAD linear attention. Heads are
+contiguous channel blocks, so g packed images simply become g*num_heads heads —
+the qk projection (a groups=2 1x1 conv) tiles to groups=2g with the same
+kernel-repeat as every other per-channel parameter, and the per-head fp32
+normalizer never mixes images.
 
 Numerically EXACT vs RecNext(fused=True).apply for the m family (same params,
 same op order) — asserted in tests/test_packed_infer.py. Inference-only: BN is
@@ -34,8 +41,14 @@ import numpy as np
 
 from recnext_tpu.models.layers import gelu
 from recnext_tpu.models.recnext import RecNextConfig
+from recnext_tpu.ops.attention import (
+    feature_map,
+    linear_attention_kv_first,
+    linear_attention_qk_first,
+)
 from recnext_tpu.ops.conv import conv2d
 from recnext_tpu.ops.recconv import rec_conv2d
+from recnext_tpu.ops.resize import resize
 
 
 def lane_group(c: int, batch: int, max_group: int = 16) -> int:
@@ -46,17 +59,37 @@ def lane_group(c: int, batch: int, max_group: int = 16) -> int:
     return max(g, 1)
 
 
+# Per-variant measured optima (v5e, batch 256, PERF.md round-2 policy sweep).
+# No closed-form rule wins everywhere: g=4 pays on m0's stage 2 and a5's stage 1
+# but loses on a0's stage 2 at the same channel count — the balance between the
+# depthwise-conv lane gain and the grouped-1x1 relayout tax is shape-dependent,
+# so we ship what was measured and fall back to the conservative rule below.
+MEASURED_GROUPS: Dict[str, Tuple[int, ...]] = {
+    "recnext_m0": (1, 1, 4, 2),   # 12314 -> 13261 img/s
+    "recnext_m1": (1, 1, 2, 1),   # 8086 -> 9362
+    "recnext_m2": (1, 1, 1, 2),   # 6782 -> 6904
+    "recnext_m5": (1, 1, 2, 1),   # 1982 -> 2277
+    "recnext_a0": (1, 1, 1, 2),   # 10687 -> 10825
+    "recnext_a1": (1, 1, 2, 1),   # 7651 -> 7919
+    "recnext_a2": (1, 1, 1, 2),   # 5115 -> 5433
+    "recnext_a5": (1, 4, 2, 1),   # 1078 -> 1818
+}
+
+
 def default_groups(cfg: RecNextConfig, batch: int) -> Tuple[int, ...]:
-    """Measured policy (PERF.md round 2): packing pays only where the grouped
-    1x1 mlp stays MXU-efficient — contraction >= 128 — AND lanes are misaligned.
-    Sub-128-channel stages lose 12x on the grouped mlp (lane-split relayout), so
-    they stay unpacked. For m1 this selects (1, 1, 2, 1): stage 2 only."""
+    """Measured per-variant policy (PERF.md round-2 sweep) with a conservative
+    fallback: pack g=2 only where it lands on EXACT 128-lane alignment
+    (C % 128 == 64) — that move never lost on any measured variant, while
+    wider groups or partial alignment are shape-dependent gambles."""
+    groups = MEASURED_GROUPS.get(cfg.name)
+    if groups is None:
+        groups = tuple(2 if c >= 128 and c % 128 == 64 else 1
+                       for c in cfg.embed_dim)
     out = []
-    for c in cfg.embed_dim:
-        if c >= 128 and c % 128 != 0:
-            out.append(lane_group(c, batch, max_group=4))
-        else:
-            out.append(1)
+    for g in groups:
+        while g > 1 and batch % g != 0:
+            g //= 2
+        out.append(g)
     return tuple(out)
 
 
@@ -83,6 +116,30 @@ def _tile(w: jnp.ndarray, g: int) -> jnp.ndarray:
     return jnp.tile(w, reps)
 
 
+def _packed_linear_attention(qk: jnp.ndarray, v: jnp.ndarray, g: int,
+                             num_heads: int, head_dim: int,
+                             variant: int) -> jnp.ndarray:
+    """qk (B,H,W,g*2c) [feature-mapped], v (B,H,W,g*c) -> (B,H,W,g*c).
+    Packed images contribute disjoint head blocks: (g, 2, nh, hd) channel-major
+    per image block, exactly the torch view(b,2,nh,hd,n) decomposition applied
+    per packed image (models/mixers.py:_split_qk_nhwc)."""
+    b, h, w, _ = qk.shape
+    n = h * w
+    c = v.shape[-1] // g
+    dv = c // num_heads
+    qk = qk.reshape(b, n, g, 2, num_heads, head_dim)
+    qk = jnp.transpose(qk, (3, 0, 2, 4, 1, 5))  # (2, b, g, nh, n, hd)
+    q = qk[0].reshape(b * g * num_heads, n, head_dim)
+    k = qk[1].reshape(b * g * num_heads, n, head_dim)
+    vh = v.reshape(b, n, g, num_heads, dv)
+    vh = jnp.transpose(vh, (0, 2, 3, 1, 4)).reshape(b * g * num_heads, n, dv)
+    la = linear_attention_kv_first if variant == 1 else linear_attention_qk_first
+    o = la(q, k, vh)
+    o = o.reshape(b, g, num_heads, n, dv)
+    o = jnp.transpose(o, (0, 3, 1, 2, 4)).reshape(b, h, w, g * c)
+    return o
+
+
 def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
                  *, group: Optional[int] = None,
                  groups: Optional[Tuple[int, ...]] = None) -> jnp.ndarray:
@@ -91,7 +148,8 @@ def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
 
     `groups` gives the per-stage packing factor (1 = plain layout). Defaults to
     the measured `default_groups` policy; `group` forces one factor everywhere."""
-    assert cfg.family == "m", "packed inference implemented for the m family"
+    assert cfg.family in ("m", "a"), \
+        "packed inference implemented for the m and a families"
     p = variables["params"]
     B = x.shape[0]
     if group is not None:
@@ -152,15 +210,36 @@ def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
         for j in range(depth):
             bp = p[f"stage{i}_block{j}"]
             tm = bp["token_mixer"]
-            y = rec_conv2d(
-                x,
-                _tile(jnp.asarray(tm["down_kernel"], dt), g),
-                tuple(_tile(jnp.asarray(tm[f"conv{l}_kernel"], dt), g)
-                      for l in range(level + 1)),
-                level=level,
-                upsample=cfg.recconv_upsample,
-            )
-            y = affine(bp["norm"], y, g)
+            if cfg.family == "m":
+                y = rec_conv2d(
+                    x,
+                    _tile(jnp.asarray(tm["down_kernel"], dt), g),
+                    tuple(_tile(jnp.asarray(tm[f"conv{l}_kernel"], dt), g)
+                          for l in range(level + 1)),
+                    level=level,
+                    upsample=cfg.recconv_upsample,
+                )
+                y = affine(bp["norm"], y, g)
+            else:  # family "a": RecAttn2d (no inter norm — it ends in a ConvNorm)
+                c = x.shape[-1] // g
+                heads = 2 ** (i + 1)
+                k = tm["down"]["conv"]["kernel"].shape[0]
+                yd = cv({"kernel": _tile(jnp.asarray(tm["down"]["conv"]["kernel"], dt), g),
+                         "bias": _tile(jnp.asarray(tm["down"]["conv"]["bias"], dt), g)},
+                        x, stride=2, padding=k // 2, groups=g * c)
+                qk = cv({"kernel": _tile(jnp.asarray(tm["attn"]["qk"]["conv"]["kernel"], dt), g),
+                         "bias": _tile(jnp.asarray(tm["attn"]["qk"]["conv"]["bias"], dt), g)},
+                        yd, groups=2 * g)
+                qk = feature_map(qk, cfg.attn_kernel)
+                o = _packed_linear_attention(
+                    qk, yd, g, heads, c // heads, variant=2 if i >= 3 else 1)
+                o = o + cv({"kernel": _tile(jnp.asarray(tm["attn"]["pe"]["conv"]["kernel"], dt), g),
+                            "bias": _tile(jnp.asarray(tm["attn"]["pe"]["conv"]["bias"], dt), g)},
+                           yd, padding=1, groups=g * c)
+                o = resize(o, (x.shape[1], x.shape[2]), mode="nearest")
+                y = cv({"kernel": _tile(jnp.asarray(tm["conv"]["conv"]["kernel"], dt), g),
+                        "bias": _tile(jnp.asarray(tm["conv"]["conv"]["bias"], dt), g)},
+                       x + o, padding=k // 2, groups=g * c)
             y = mlp(bp["channel_mixer"], y, g)
             x = x + y
 

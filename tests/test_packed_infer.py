@@ -57,3 +57,66 @@ def test_packed_default_group_and_features_dim(rng):
     want = np.asarray(fused.apply(fused_vars, x, training=False))
     got = np.asarray(packed_apply(fused_vars, CFG, x))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-5)
+
+
+CFG_A = RecNextConfig(name="tiny_a", family="a", embed_dim=(24, 48, 96, 192),
+                      depth=(1, 1, 2, 1), mlp_ratio=(2, 2, 2, 2), num_classes=13)
+
+
+@pytest.mark.parametrize("group", [1, 2, 4])
+def test_packed_matches_fused_apply_a_family(rng, group):
+    model = RecNext(cfg=CFG_A)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * np.random.default_rng(1).normal(size=v.shape)
+        .astype(v.dtype), variables)
+    fused_vars = fuse_params(variables)
+    fused = RecNext(cfg=CFG_A, fused=True)
+    want = np.asarray(fused.apply(fused_vars, x, training=False))
+    got = np.asarray(packed_apply(fused_vars, CFG_A, x, group=group))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-5)
+
+
+def test_packed_default_groups_a_family(rng):
+    model = RecNext(cfg=CFG_A)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    fused_vars = fuse_params(variables)
+    fused = RecNext(cfg=CFG_A, fused=True)
+    want = np.asarray(fused.apply(fused_vars, x, training=False))
+    got = np.asarray(packed_apply(fused_vars, CFG_A, x))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-5)
+
+
+def test_packed_a_family_softplus_kernel(rng):
+    cfg = RecNextConfig(name="tiny_a_sp", family="a", embed_dim=(24, 48, 96, 192),
+                        depth=(1, 0, 1, 1), mlp_ratio=(2, 2, 2, 2), num_classes=7,
+                        attn_kernel="softplus")
+    model = RecNext(cfg=cfg)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    fused_vars = fuse_params(variables)
+    fused = RecNext(cfg=cfg, fused=True)
+    want = np.asarray(fused.apply(fused_vars, x, training=False))
+    got = np.asarray(packed_apply(fused_vars, cfg, x, group=2))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-5)
+
+
+def test_default_groups_policy():
+    from recnext_tpu.models.packed_infer import MEASURED_GROUPS, default_groups
+    from recnext_tpu.models.registry import get_config
+
+    # measured table is honored (and batch-capped)
+    assert default_groups(get_config("recnext_m0"), 256) == (1, 1, 4, 2)
+    assert default_groups(get_config("recnext_m0"), 2) == (1, 1, 2, 2)
+    assert default_groups(get_config("recnext_a5"), 256) == (1, 4, 2, 1)
+    # aligned variants pack nothing
+    assert default_groups(get_config("recnext_m3"), 256) == (1, 1, 1, 1)
+    assert default_groups(get_config("recnext_a4"), 256) == (1, 1, 1, 1)
+    # fallback rule: g=2 only on exact 128-alignment (C >= 128, C % 128 == 64)
+    cfg = get_config("recnext_m1")
+    assert cfg.name in MEASURED_GROUPS
+    unlisted = CFG  # (24, 48, 96, 192): only stage 3 is >=128 and =64 mod 128
+    assert default_groups(unlisted, 8) == (1, 1, 1, 2)
+    assert default_groups(unlisted, 3) == (1, 1, 1, 1)  # batch not divisible
