@@ -143,8 +143,10 @@ def dw_conv_winograd(x: jnp.ndarray, w: jnp.ndarray, b=None, *, m: int = 2,
     """Depthwise stride-1 SAME conv via 2D Winograd F(m x m, r x r).
 
     x: (B, H, W, C) NHWC; w: (r, r, 1, C) depthwise HWIO (torch/XLA layout).
-    Transforms run as einsums (MXU, fp32 accumulation); the elementwise product
-    stays in x.dtype on the VPU. Output matches lax depthwise conv SAME.
+    Transforms AND the elementwise product run in transform_dtype (fp32 by
+    default — the transform domain loses ~6 bits of bf16 dynamic range even
+    after row-norm balancing, PERF.md round 2); only the output is cast back
+    to x.dtype. Output matches lax depthwise conv SAME.
     """
     r = int(w.shape[0])
     B, H, W, C = x.shape
@@ -158,7 +160,6 @@ def dw_conv_winograd(x: jnp.ndarray, w: jnp.ndarray, b=None, *, m: int = 2,
     # kernel transform: (r,r,C) -> (a,a,C); correlation needs no kernel flip
     k = w[:, :, 0, :].astype(transform_dtype)
     kt = jnp.einsum("ui,ijc,vj->uvc", Gj, k, Gj)
-    kt = kt.astype(x.dtype)
 
     xp = jnp.pad(x, ((0, 0), (pad, ph - H - pad), (pad, pw - W - pad), (0, 0)))
     # input transform along H then W (tile extraction folded into the matrices)
@@ -167,7 +168,7 @@ def dw_conv_winograd(x: jnp.ndarray, w: jnp.ndarray, b=None, *, m: int = 2,
                     preferred_element_type=jnp.float32)
     xt = jnp.einsum("bjwc,wk->bjkc", xt, jnp.asarray(Ww_in, transform_dtype),
                     preferred_element_type=jnp.float32)
-    xt = xt.astype(x.dtype)
+    xt = xt.astype(transform_dtype)
 
     # elementwise product in the transform domain: (B, nth, a, ntw, a, C)*(a,a,C)
     xt = xt.reshape(B, nth, a, ntw, a, C)
