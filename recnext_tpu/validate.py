@@ -27,6 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--model", required=True)
     p.add_argument("--checkpoint", default="", help="orbax dir / published dir / .pth")
     p.add_argument("--fused", action="store_true", help="evaluate the BN-fused model")
+    p.add_argument("--packed", action="store_true",
+                   help="with --fused on an m/a-family model: run the lane-packed "
+                        "executor (numerically exact, measured faster; PERF.md)")
     p.add_argument("--ema", action="store_true", help="evaluate the EMA weights")
     p.add_argument("--data-set", default="IMNET", choices=["IMNET", "CIFAR", "FOLDER", "FAKE"])
     p.add_argument("--data-path", default="")
@@ -89,9 +92,23 @@ def main(argv=None):
     variables = load_variables(args, model, fused_model)
     net = fused_model if args.fused else model
 
-    @jax.jit
-    def fwd(x):
-        return net.apply(variables, x, training=False)
+    if args.packed:
+        from recnext_tpu.models.packed_infer import packed_apply
+        from recnext_tpu.models.registry import get_config
+
+        cfg = get_config(args.model, num_classes=nb_classes)
+        if not args.fused or cfg.family not in ("m", "a"):
+            raise SystemExit("--packed requires --fused and an m/a-family model")
+
+        @jax.jit
+        def fwd(x):
+            # default_groups reads the (static) batch from the trace, so the
+            # ragged final batch just retraces with its own packing factors
+            return packed_apply(variables, cfg, x)
+    else:
+        @jax.jit
+        def fwd(x):
+            return net.apply(variables, x, training=False)
 
     c1 = c5 = n = 0
     t0 = time.time()
@@ -111,7 +128,7 @@ def main(argv=None):
               "top5": round(100 * c5 / max(n, 1), 3), "img_size": args.input_size,
               "crop_pct": args.crop_pct, "count": n,
               "images_per_sec": round(n / max(dt, 1e-9), 1),
-              "fused": args.fused, "ema": args.ema}
+              "fused": args.fused, "ema": args.ema, "packed": args.packed}
     print(json.dumps(result))
     if args.results_file:
         exists = Path(args.results_file).exists()

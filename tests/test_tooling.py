@@ -116,3 +116,18 @@ def test_kernel_option_in_linear_attention():
         v = m.init(jax.random.PRNGKey(0), x)
         y = m.apply(v, x)
         assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+
+
+def test_validate_cli_packed_matches_plain(tmp_path):
+    """--packed (lane-packed executor) must produce the same top1/top5 as the
+    plain fused apply — including the ragged final batch (retrace repack)."""
+    from recnext_tpu.validate import main as validate_main
+
+    common = ["--model", "recnext_m0", "--data-set", "FAKE", "--input-size", "64",
+              "--batch-size", "6", "--max-batches", "3", "--fused"]
+    plain = validate_main(common)
+    packed = validate_main(common + ["--packed"])
+    assert packed["packed"] and not plain["packed"]
+    assert packed["top1"] == plain["top1"]
+    assert packed["top5"] == plain["top5"]
+    assert packed["count"] == plain["count"]
