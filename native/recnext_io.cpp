@@ -2,8 +2,9 @@
 //
 // The reference's data loader rides torch's C++ DataLoader + PIL workers
 // (/root/reference/main.py:242-259, 10 workers). This is the TPU build's native
-// counterpart: libjpeg decode with DCT-domain prescaling, fused bilinear
-// crop-resize + horizontal flip + mean/std normalization straight into a float32
+// counterpart: libjpeg decode with DCT-domain prescaling, fused PIL-convention
+// antialiased bicubic/bilinear crop-resize + horizontal flip + mean/std
+// normalization straight into a float32
 // NHWC batch buffer, fanned out over a std::thread pool. Exposed via a C ABI and
 // bound with ctypes (recnext_tpu/data/native.py) — no pybind11 dependency.
 //
@@ -76,37 +77,129 @@ int decode_jpeg_rgb(const uint8_t* data, size_t len, int min_side,
     return 0;
 }
 
-// Fused: crop rectangle (cx, cy, cw, ch) from an RGB8 image, bilinearly resize to
-// (size x size), optional horizontal flip, normalize to (x/255 - mean)/std,
-// write float32 HWC.
-void crop_resize_normalize(const uint8_t* img, int w, int h, int cx, int cy, int cw,
-                           int ch, int size, int flip, const float* mean,
-                           const float* stdv, float* dst) {
-    const float sx = static_cast<float>(cw) / size;
-    const float sy = static_cast<float>(ch) / size;
+// PIL-convention antialiased separable resampling (Pillow's ImagingResample):
+// per output pixel the kernel support scales with the downsampling factor, the
+// contribution window is clamped to the image and its weights renormalized.
+// filter 0 = bilinear (triangle, support 1), 1 = bicubic (a = -0.5, support 2 —
+// the reference eval transform's resample, /root/reference/data/datasets.py:130).
+inline float kern_bilinear(float x) {
+    x = std::fabs(x);
+    return x < 1.0f ? 1.0f - x : 0.0f;
+}
+
+inline float kern_bicubic(float x) {
+    // Keys cubic with a = -0.5 (PIL BICUBIC / Catmull-Rom)
+    x = std::fabs(x);
+    if (x < 1.0f) return ((1.5f * x - 2.5f) * x) * x + 1.0f;
+    if (x < 2.0f) return ((-0.5f * x + 2.5f) * x - 4.0f) * x + 2.0f;
+    return 0.0f;
+}
+
+// Per-axis contribution windows for resampling a crop of length `crop_len`
+// starting at `c0` (in an image axis of `in_size` px) to `out` px. Windows may
+// extend past the crop into the rest of the image (clamped at image bounds) —
+// the resize-the-full-image-then-crop semantics of the reference eval pipeline.
+struct Axis {
+    std::vector<int> first;
+    std::vector<int> count;
+    std::vector<float> wgt;  // out x kmax, row-major
+    int kmax = 0;
+};
+
+Axis precompute_axis(int in_size, float c0, float crop_len, int out, int filter) {
+    const float base_support = filter == 1 ? 2.0f : 1.0f;
+    const float scale = crop_len / out;
+    const float fscale = std::max(scale, 1.0f);
+    const float support = base_support * fscale;
+    Axis ax;
+    ax.kmax = static_cast<int>(std::ceil(2.0f * support)) + 2;
+    ax.first.resize(out);
+    ax.count.resize(out);
+    ax.wgt.assign(static_cast<size_t>(out) * ax.kmax, 0.0f);
+    for (int o = 0; o < out; ++o) {
+        const float center = c0 + (o + 0.5f) * scale;
+        int xmin = static_cast<int>(std::floor(center - support));
+        int xmax = static_cast<int>(std::ceil(center + support));
+        xmin = std::max(xmin, 0);
+        xmax = std::min(xmax, in_size);
+        if (xmax <= xmin) {  // degenerate crop: clamp to nearest pixel
+            xmin = std::max(0, std::min(in_size - 1, static_cast<int>(center)));
+            xmax = xmin + 1;
+        }
+        float* w = ax.wgt.data() + static_cast<size_t>(o) * ax.kmax;
+        float sum = 0.0f;
+        for (int x = xmin; x < xmax; ++x) {
+            const float k = filter == 1 ? kern_bicubic((x + 0.5f - center) / fscale)
+                                        : kern_bilinear((x + 0.5f - center) / fscale);
+            w[x - xmin] = k;
+            sum += k;
+        }
+        if (sum != 0.0f)
+            for (int x = 0; x < xmax - xmin; ++x) w[x] /= sum;
+        ax.first[o] = xmin;
+        ax.count[o] = xmax - xmin;
+    }
+    return ax;
+}
+
+// Fused: crop rectangle (cx, cy, cw, ch — float source coords, so callers can
+// express PIL resize-then-crop geometry exactly) from an RGB8 image, resample to
+// (size x size) with the PIL-convention antialiased filter, optional horizontal
+// flip, normalize to (x/255 - mean)/std, write float32 HWC.
+void crop_resize_normalize(const uint8_t* img, int w, int h, float cx, float cy,
+                           float cw, float ch, int size, int flip, int filter,
+                           const float* mean, const float* stdv, float* dst) {
+    const Axis axx = precompute_axis(w, cx, cw, size, filter);
+    const Axis axy = precompute_axis(h, cy, ch, size, filter);
+    // vertical extent actually needed for the horizontal pass
+    int ymin = h, ymax = 0;
     for (int oy = 0; oy < size; ++oy) {
-        float fy = (oy + 0.5f) * sy - 0.5f + cy;
-        fy = std::max(0.0f, std::min(fy, static_cast<float>(h - 1)));
-        const int y0 = static_cast<int>(fy);
-        const int y1 = std::min(y0 + 1, h - 1);
-        const float wy = fy - y0;
+        ymin = std::min(ymin, axy.first[oy]);
+        ymax = std::max(ymax, axy.first[oy] + axy.count[oy]);
+    }
+    // horizontal pass: (ymax-ymin) rows x size cols x 3
+    std::vector<float> tmp(static_cast<size_t>(ymax - ymin) * size * 3);
+    for (int y = ymin; y < ymax; ++y) {
+        const uint8_t* row = img + static_cast<size_t>(y) * w * 3;
+        float* trow = tmp.data() + static_cast<size_t>(y - ymin) * size * 3;
+        for (int ox = 0; ox < size; ++ox) {
+            const float* kw = axx.wgt.data() + static_cast<size_t>(ox) * axx.kmax;
+            const int x0 = axx.first[ox];
+            const int cnt = axx.count[ox];
+            float acc[3] = {0.0f, 0.0f, 0.0f};
+            for (int i = 0; i < cnt; ++i) {
+                const uint8_t* p = row + static_cast<size_t>(x0 + i) * 3;
+                acc[0] += kw[i] * p[0];
+                acc[1] += kw[i] * p[1];
+                acc[2] += kw[i] * p[2];
+            }
+            float* o = trow + static_cast<size_t>(ox) * 3;
+            // PIL clamps (and quantizes) to [0, 255] between the two passes;
+            // clamp kernel overshoot the same way, skip the quantization
+            o[0] = std::max(0.0f, std::min(acc[0], 255.0f));
+            o[1] = std::max(0.0f, std::min(acc[1], 255.0f));
+            o[2] = std::max(0.0f, std::min(acc[2], 255.0f));
+        }
+    }
+    // vertical pass + flip + normalization
+    for (int oy = 0; oy < size; ++oy) {
+        const float* kw = axy.wgt.data() + static_cast<size_t>(oy) * axy.kmax;
+        const int y0 = axy.first[oy];
+        const int cnt = axy.count[oy];
         for (int ox = 0; ox < size; ++ox) {
             const int oxx = flip ? (size - 1 - ox) : ox;
-            float fx = (ox + 0.5f) * sx - 0.5f + cx;
-            fx = std::max(0.0f, std::min(fx, static_cast<float>(w - 1)));
-            const int x0 = static_cast<int>(fx);
-            const int x1 = std::min(x0 + 1, w - 1);
-            const float wx = fx - x0;
-            const uint8_t* p00 = img + (static_cast<size_t>(y0) * w + x0) * 3;
-            const uint8_t* p01 = img + (static_cast<size_t>(y0) * w + x1) * 3;
-            const uint8_t* p10 = img + (static_cast<size_t>(y1) * w + x0) * 3;
-            const uint8_t* p11 = img + (static_cast<size_t>(y1) * w + x1) * 3;
+            float acc[3] = {0.0f, 0.0f, 0.0f};
+            for (int i = 0; i < cnt; ++i) {
+                const float* p = tmp.data() +
+                    (static_cast<size_t>(y0 + i - ymin) * size + ox) * 3;
+                acc[0] += kw[i] * p[0];
+                acc[1] += kw[i] * p[1];
+                acc[2] += kw[i] * p[2];
+            }
             float* o = dst + (static_cast<size_t>(oy) * size + oxx) * 3;
             for (int c = 0; c < 3; ++c) {
-                const float top = p00[c] + (p01[c] - p00[c]) * wx;
-                const float bot = p10[c] + (p11[c] - p10[c]) * wx;
-                const float v = (top + (bot - top) * wy) / 255.0f;
-                o[c] = (v - mean[c]) / stdv[c];
+                const float v = std::max(0.0f, std::min(acc[c], 255.0f));
+                o[c] = (v / 255.0f - mean[c]) / stdv[c];
             }
         }
     }
@@ -130,10 +223,13 @@ long rn_decode_jpeg(const uint8_t* data, long len, int min_side, uint8_t* out,
 
 // Batch: decode n JPEGs (concatenated in `data` with offsets/lengths), apply the
 // per-sample crop (cx, cy, cw, ch, flip) and write normalized float32 NHWC into
-// `dst` (n * size * size * 3). crops: 5 ints per sample. Returns #failures.
+// `dst` (n * size * size * 3). crops: 5 floats per sample (float source coords —
+// exact PIL resize-then-crop geometry; flip != 0 flips). filter: 0 bilinear,
+// 1 bicubic (both PIL-convention antialiased). Returns #failures.
 int rn_batch_decode_crop(const uint8_t* data, const long* offsets, const long* lengths,
-                         int n, const int* crops, int size, const float* mean,
-                         const float* stdv, float* dst, int n_threads) {
+                         int n, const float* crops, int size, int filter,
+                         const float* mean, const float* stdv, float* dst,
+                         int n_threads) {
     std::atomic<int> fails{0};
     std::atomic<int> next{0};
     n_threads = std::max(1, n_threads);
@@ -150,19 +246,21 @@ int rn_batch_decode_crop(const uint8_t* data, const long* offsets, const long* l
                             sizeof(float) * size * size * 3);
                 continue;
             }
-            const int* c = crops + i * 5;
-            int cx = c[0], cy = c[1], cw = c[2], ch = c[3], flip = c[4];
-            if (cw <= 0 || ch <= 0) {  // sentinel: full image
-                cx = cy = 0;
-                cw = w;
-                ch = h;
+            const float* c = crops + i * 5;
+            float cx = c[0], cy = c[1], cw = c[2], ch = c[3];
+            const int flip = c[4] != 0.0f;
+            if (cw <= 0.0f || ch <= 0.0f) {  // sentinel: full image
+                cx = cy = 0.0f;
+                cw = static_cast<float>(w);
+                ch = static_cast<float>(h);
             }
-            cx = std::max(0, std::min(cx, w - 1));
-            cy = std::max(0, std::min(cy, h - 1));
+            cx = std::max(0.0f, std::min(cx, static_cast<float>(w - 1)));
+            cy = std::max(0.0f, std::min(cy, static_cast<float>(h - 1)));
             cw = std::min(cw, w - cx);
             ch = std::min(ch, h - cy);
-            crop_resize_normalize(buf.data(), w, h, cx, cy, cw, ch, size, flip, mean,
-                                  stdv, dst + static_cast<size_t>(i) * size * size * 3);
+            crop_resize_normalize(buf.data(), w, h, cx, cy, cw, ch, size, flip, filter,
+                                  mean, stdv,
+                                  dst + static_cast<size_t>(i) * size * size * 3);
         }
     };
     std::vector<std::thread> threads;
@@ -171,6 +269,6 @@ int rn_batch_decode_crop(const uint8_t* data, const long* offsets, const long* l
     return fails.load();
 }
 
-int rn_version() { return 1; }
+int rn_version() { return 2; }
 
 }  // extern "C"

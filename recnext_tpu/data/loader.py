@@ -129,13 +129,17 @@ def eval_loader(
 
 
 def _native_eval_batches(dataset, indices, batch_size, size, crop_pct):
-    """Fast path: raw JPEG bytes -> native C++ decode + center-crop + resize +
-    normalize (recnext_tpu/data/native.py). Uses bilinear (not bicubic) resampling —
-    a fast-path approximation; the PIL path stays reference-exact."""
+    """Fast path: raw JPEG bytes -> native C++ decode + fused antialiased-bicubic
+    crop-resample + normalize (recnext_tpu/data/native.py). The float crop rect
+    reproduces transforms.resize_center_crop's geometry EXACTLY (same rounding of
+    the intermediate resize target), and the native resampler is PIL-convention
+    bicubic, so this path matches the PIL path up to PIL's uint8 intermediate
+    quantization (~1 LSB)."""
     import numpy as np
 
     from recnext_tpu.data import native as native_io
 
+    scale_size = int(round(size / crop_pct))
     for start in range(0, len(indices), batch_size):
         idx = indices[start : start + batch_size]
         blobs, labels, crops = [], [], []
@@ -145,20 +149,25 @@ def _native_eval_batches(dataset, indices, batch_size, size, crop_pct):
                 blob = f.read()
             blobs.append(blob)
             labels.append(label)
-            crops.append([-1, -1, -2, -2, 0])  # placeholder, fixed below per image
-        # compute center-crop boxes from decoded sizes cheaply: decode headers via
-        # native decode of each image is done in C++; we pass the crop as a fraction
-        # sentinel (-3) is not supported, so decode dims via PIL header-only read.
+            crops.append([0.0, 0.0, -1.0, -1.0, 0.0])  # fixed below per image
+        # image dims via PIL header-only read; decode itself happens in C++
         from PIL import Image
         import io as _io
 
         for j, blob in enumerate(blobs):
             with Image.open(_io.BytesIO(blob)) as im:
                 w, h = im.size
-            side = int(min(w, h) * crop_pct)
-            crops[j] = [(w - side) // 2, (h - side) // 2, side, side, 0]
-        out = native_io.batch_decode_crop(blobs, np.asarray(crops, np.int32), size,
-                                          n_threads=4)
+            # mirror resize_center_crop: short side -> scale_size (rounded dims),
+            # center-crop `size` in resized coords, map back to source floats
+            if w <= h:
+                nw, nh = scale_size, max(1, int(round(h * scale_size / w)))
+            else:
+                nh, nw = scale_size, max(1, int(round(w * scale_size / h)))
+            sx, sy = w / nw, h / nh
+            x, y = (nw - size) // 2, (nh - size) // 2
+            crops[j] = [x * sx, y * sy, size * sx, size * sy, 0.0]
+        out = native_io.batch_decode_crop(blobs, np.asarray(crops, np.float32),
+                                          size, n_threads=4)
         if out is None:  # fallback mid-stream (corrupt file): PIL per-sample
             from recnext_tpu.data.transforms import EvalTransform
 

@@ -35,6 +35,16 @@ def _build() -> bool:
         return False
 
 
+_ABI_VERSION = 2  # must match rn_version() in recnext_io.cpp
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    try:
+        return ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _FAILED
     if _LIB is not None or _FAILED:
@@ -43,9 +53,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if not _build():
             _FAILED = True
             return None
-    try:
-        lib = ctypes.CDLL(str(_SO))
-    except OSError:
+    lib = _load()
+    # a checked-out prebuilt .so can be newer than the source by mtime yet built
+    # from an older ABI — verify the version stamp and rebuild once if stale
+    if lib is not None and lib.rn_version() != _ABI_VERSION:
+        lib = _load() if _build() else None
+        if lib is not None and lib.rn_version() != _ABI_VERSION:
+            lib = None
+    if lib is None:
         _FAILED = True
         return None
     lib.rn_decode_jpeg.restype = ctypes.c_long
@@ -57,7 +72,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.rn_batch_decode_crop.argtypes = [
         ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
         np.ctypeslib.ndpointer(np.int64), ctypes.c_int,
-        np.ctypeslib.ndpointer(np.int32), ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float32), ctypes.c_int, ctypes.c_int,
         np.ctypeslib.ndpointer(np.float32), np.ctypeslib.ndpointer(np.float32),
         np.ctypeslib.ndpointer(np.float32), ctypes.c_int]
     _LIB = lib
@@ -90,11 +105,15 @@ def decode_jpeg(data: bytes, min_side: int = 0) -> Optional[np.ndarray]:
 
 def batch_decode_crop(
     blobs: Sequence[bytes],
-    crops: np.ndarray,  # (n, 5) int32: cx, cy, cw, ch, flip; cw<=0 -> full image
+    crops: np.ndarray,  # (n, 5) float32: cx, cy, cw, ch, flip; cw<=0 -> full image
     size: int,
     n_threads: int = 4,
+    filter: str = "bicubic",  # PIL-convention antialiased: bicubic | bilinear
 ) -> Optional[np.ndarray]:
-    """Decode+crop+resize+normalize a batch to float32 NHWC in native threads."""
+    """Decode+crop+resize+normalize a batch to float32 NHWC in native threads.
+
+    Crop coords are float source-image coordinates, so PIL resize-then-crop
+    geometry is expressible exactly (see loader._native_eval_batches)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -104,7 +123,8 @@ def batch_decode_crop(
     n = len(blobs)
     out = np.empty((n, size, size, 3), np.float32)
     fails = lib.rn_batch_decode_crop(
-        data, offsets, lengths, n, np.ascontiguousarray(crops, np.int32), size,
+        data, offsets, lengths, n, np.ascontiguousarray(crops, np.float32), size,
+        {"bilinear": 0, "bicubic": 1}[filter],
         IMAGENET_MEAN.astype(np.float32), IMAGENET_STD.astype(np.float32),
         out, n_threads)
     if fails:

@@ -69,9 +69,49 @@ def test_native_eval_loader(tmp_path):
     batches = list(iter(loader))
     assert sum(b["image"].shape[0] for b in batches) == 6
     assert batches[0]["image"].dtype == np.float32
-    # compare against PIL path: same images, close values (bilinear vs bicubic)
+    # the native path is PIL-parity: exact resize-then-crop geometry + the same
+    # antialiased bicubic kernel; only PIL's uint8 intermediate quantization
+    # remains (~1 LSB)
     pil_loader = eval_loader(ds, EvalTransform(32), batch_size=4, native=False)
     pil_batches = list(iter(pil_loader))
     a = np.concatenate([b["image"] for b in batches])
     b = np.concatenate([b["image"] for b in pil_batches])
-    assert np.mean(np.abs(a - b)) < 0.25
+    from recnext_tpu.data.transforms import IMAGENET_STD
+    d = np.abs(a - b) * IMAGENET_STD[None, None, None]  # back to [0,1] scale
+    assert d.max() < 0.02 and d.mean() < 0.005
+
+
+def test_native_bicubic_matches_pil_eval_transform():
+    """Direct parity check on arbitrary sizes: native fused crop-resample ==
+    EvalTransform (PIL resize-bicubic + center crop) within PIL's uint8
+    intermediate quantization."""
+    import io
+
+    from recnext_tpu.data import native as native_io
+    from recnext_tpu.data.transforms import EvalTransform, IMAGENET_STD
+
+    if not native_io.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    for (w, h) in [(100, 80), (321, 480), (96, 96)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack([(xx * 7) % 256, (yy * 5) % 256,
+                        rng.integers(0, 256, (h, w))], -1).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, "JPEG", quality=95)
+        blob = buf.getvalue()
+        size = 64
+        t = EvalTransform(size)
+        want = t(None, Image.open(io.BytesIO(blob)))
+        scale_size = int(round(size / t.crop_pct))
+        if w <= h:
+            nw, nh = scale_size, max(1, int(round(h * scale_size / w)))
+        else:
+            nh, nw = scale_size, max(1, int(round(w * scale_size / h)))
+        sx, sy = w / nw, h / nh
+        x, y = (nw - size) // 2, (nh - size) // 2
+        crops = np.asarray([[x * sx, y * sy, size * sx, size * sy, 0]], np.float32)
+        got = native_io.batch_decode_crop([blob], crops, size)[0]
+        d = np.abs(got - want) * IMAGENET_STD[None, None]
+        assert d.max() < 0.02, (w, h, d.max())
+        assert d.mean() < 0.004, (w, h, d.mean())
