@@ -102,3 +102,23 @@ def test_anchor_generation():
     assert (w > 0).all() and (h > 0).all()
     # ratio-1 scale-1 anchor at stride 8 has side base_size*stride = 32
     np.testing.assert_allclose(w[3], 32.0, rtol=1e-5)
+
+
+def test_retinanet_postprocess_nms_pre_prefilter():
+    """Top-k prefilter (mmdet nms_pre) must not change results when it keeps all
+    survivors, and must bound the NMS problem size for big anchor sets."""
+    import numpy as np
+
+    from recnext_tpu.tasks.detection import retinanet_postprocess
+
+    rng = np.random.default_rng(0)
+    A, C = 500, 4
+    cls = jnp.asarray(rng.normal(size=(A, C)).astype(np.float32))
+    deltas = jnp.asarray(0.1 * rng.normal(size=(A, 4)).astype(np.float32))
+    xy = rng.uniform(0, 100, (A, 2)).astype(np.float32)
+    anchors = jnp.asarray(np.concatenate([xy, xy + 10], axis=-1))
+    full = retinanet_postprocess(cls, deltas, anchors, nms_pre=A, max_det=20)
+    pre = retinanet_postprocess(cls, deltas, anchors, nms_pre=100, max_det=20)
+    # the top-20 detections live well inside the top-100 scores, so both agree
+    for a, b in zip(full, pre):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

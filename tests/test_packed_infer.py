@@ -120,3 +120,28 @@ def test_default_groups_policy():
     unlisted = CFG  # (24, 48, 96, 192): only stage 3 is >=128 and =64 mod 128
     assert default_groups(unlisted, 8) == (1, 1, 1, 2)
     assert default_groups(unlisted, 3) == (1, 1, 1, 1)  # batch not divisible
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [
+    "recnext_m0", "recnext_m1", "recnext_m2", "recnext_m3", "recnext_m4",
+    "recnext_m5", "recnext_a0", "recnext_a1", "recnext_a2", "recnext_a3",
+    "recnext_a4", "recnext_a5"])
+def test_packed_exact_every_registry_variant(rng, name):
+    """Every shipped MEASURED_GROUPS policy (and the fallback) is numerically
+    exact on its real variant config."""
+    from recnext_tpu.models.registry import get_config
+
+    cfg = get_config(name, num_classes=11)
+    model = RecNext(cfg=cfg)
+    x = jnp.asarray(rng.normal(size=(8, 96, 96, 3)).astype(np.float32))
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x[:1])
+    gen = np.random.default_rng(3)
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(gen.normal(scale=0.05, size=s.shape), s.dtype),
+        variables)
+    fused_vars = fuse_params(variables)
+    fused = RecNext(cfg=cfg, fused=True)
+    want = np.asarray(fused.apply(fused_vars, x, training=False))
+    got = np.asarray(packed_apply(fused_vars, cfg, x))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-5)
