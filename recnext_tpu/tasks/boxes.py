@@ -116,3 +116,34 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, *, iou_thresh: float = 0.5,
         order.astype(jnp.int32), mode="drop")
     mask = out_idx >= 0
     return jnp.where(mask, out_idx, 0), mask
+
+
+def multiclass_nms(
+    boxes: jnp.ndarray,   # (N, 4) shared across classes
+    probs: jnp.ndarray,   # (N, C) per-class scores
+    *,
+    score_thresh: float = 0.05,
+    iou_thresh: float = 0.5,
+    max_out: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """mmdet multiclass_nms counterpart (mmdet/core/post_processing/bbox_nms.py
+    semantics): independent NMS per class over the shared box set, then a global
+    top-max_out across classes. Fixed-shape and jittable.
+
+    Returns (boxes (max_out, 4), scores, labels, valid_mask)."""
+    num_classes = probs.shape[-1]
+
+    def one_class(scores_c):
+        s = jnp.where(scores_c >= score_thresh, scores_c.astype(jnp.float32), 0.0)
+        idx, m = nms(boxes, s, iou_thresh=iou_thresh, max_out=max_out)
+        return boxes[idx], s[idx] * m, m
+
+    bx, sc, mk = jax.vmap(one_class, in_axes=1)(probs)  # (C, max_out, ...)
+    labels = jnp.broadcast_to(
+        jnp.arange(num_classes, dtype=jnp.int32)[:, None], (num_classes, max_out))
+    bx = bx.reshape(num_classes * max_out, 4)
+    sc = jnp.where(mk, sc, 0.0).reshape(num_classes * max_out)
+    labels = labels.reshape(num_classes * max_out)
+    top_s, top_i = jax.lax.top_k(sc, max_out)
+    valid = top_s > 0.0
+    return bx[top_i], top_s, jnp.where(valid, labels[top_i], 0), valid

@@ -205,23 +205,20 @@ def retinanet_postprocess(cls_scores: jnp.ndarray, bbox_preds: jnp.ndarray,
                           nms_pre: int = 1000):
     """Single-image inference decode: sigmoid scores -> top-nms_pre prefilter
     (mmdet's nms_pre=1000, configs/_base_/models/retinanet_r50_fpn.py) ->
-    class-agnostic NMS over the best class per anchor (fixed-shape, jittable).
-    Without the prefilter the (A, A) NMS IoU matrix over every anchor of a
-    P2-P6 pyramid is quadratic in image area (154 GB at img 128, batch 8).
+    per-class NMS (mmdet multiclass_nms semantics; fixed-shape, jittable).
+    Without the prefilter the NMS IoU matrix over every anchor of a P2-P6
+    pyramid is quadratic in image area (154 GB at img 128, batch 8).
     Returns (boxes (max_det, 4), scores, labels, valid_mask)."""
-    from recnext_tpu.tasks.boxes import decode_boxes, nms
+    from recnext_tpu.tasks.boxes import decode_boxes, multiclass_nms
 
     probs = jax.nn.sigmoid(cls_scores.astype(jnp.float32))  # (A, C)
     best_score = jnp.max(probs, axis=-1)
-    best_label = jnp.argmax(probs, axis=-1)
     boxes = decode_boxes(anchors, bbox_preds.astype(jnp.float32))
-    score = jnp.where(best_score >= score_thresh, best_score, 0.0)
-    k = min(nms_pre, score.shape[0])
-    top_score, top_idx = jax.lax.top_k(score, k)
-    top_boxes = boxes[top_idx]
-    idx, mask = nms(top_boxes, top_score, iou_thresh=iou_thresh, max_out=max_det)
-    return (top_boxes[idx], best_score[top_idx][idx] * mask,
-            best_label[top_idx][idx], mask)
+    k = min(nms_pre, best_score.shape[0])
+    _, top_idx = jax.lax.top_k(best_score, k)
+    return multiclass_nms(boxes[top_idx], probs[top_idx],
+                          score_thresh=score_thresh, iou_thresh=iou_thresh,
+                          max_out=max_det)
 
 
 def generate_anchors(feat_shapes: Sequence[Tuple[int, int]],

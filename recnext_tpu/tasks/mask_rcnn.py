@@ -181,7 +181,7 @@ class MaskRCNN(nn.Module):
         refine + class scores -> NMS -> mask head on the REFINED boxes. Returns
         (boxes (B,D,4) canvas coords, scores (B,D), labels (B,D), mask_probs
         (B,D,m,m) or None, valid (B,D))."""
-        from recnext_tpu.tasks.boxes import decode_boxes, nms
+        from recnext_tpu.tasks.boxes import decode_boxes, multiclass_nms
 
         img_hw = (x.shape[1], x.shape[2])
         feats = self.extractor(x, training=False)
@@ -206,18 +206,17 @@ class MaskRCNN(nn.Module):
         reg = reg.reshape(b, r, 4)
 
         def per_image(props, pv, c, rg):
+            # per-class NMS over the refined boxes (mmdet multiclass_nms)
             probs = jax.nn.softmax(c.astype(jnp.float32), axis=-1)[:, :-1]
-            best_score = jnp.max(probs, axis=-1) * pv
-            best_label = jnp.argmax(probs, axis=-1)
+            probs = probs * pv[:, None]
             boxes = decode_boxes(props, rg.astype(jnp.float32))
             boxes = jnp.stack([
                 jnp.clip(boxes[:, 0], 0, img_hw[1]),
                 jnp.clip(boxes[:, 1], 0, img_hw[0]),
                 jnp.clip(boxes[:, 2], 0, img_hw[1]),
                 jnp.clip(boxes[:, 3], 0, img_hw[0])], axis=-1)
-            score = jnp.where(best_score >= score_thresh, best_score, 0.0)
-            idx, mask = nms(boxes, score, iou_thresh=iou_thresh, max_out=max_det)
-            return (boxes[idx], best_score[idx] * mask, best_label[idx], mask)
+            return multiclass_nms(boxes, probs, score_thresh=score_thresh,
+                                  iou_thresh=iou_thresh, max_out=max_det)
 
         det_boxes, det_scores, det_labels, det_valid = jax.vmap(per_image)(
             proposals, pvalid.astype(jnp.float32), cls, reg)

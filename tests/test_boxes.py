@@ -1,5 +1,6 @@
 """Box utilities: IoU, coding round-trip, anchor assignment, fixed-shape NMS."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,3 +62,36 @@ def test_nms_jittable():
     scores = jnp.asarray(np.random.default_rng(1).uniform(0.1, 1, 32).astype(np.float32))
     idx, mask = jax.jit(lambda b, s: nms(b, s, max_out=8))(boxes, scores)
     assert idx.shape == (8,) and mask.shape == (8,)
+
+
+def test_multiclass_nms_keeps_overlapping_distinct_classes():
+    """Per-class NMS (mmdet multiclass_nms) must keep two heavily overlapping
+    boxes of DIFFERENT classes, which class-agnostic best-class NMS suppresses."""
+    from recnext_tpu.tasks.boxes import multiclass_nms
+
+    boxes = jnp.asarray([[0., 0., 10., 10.],
+                         [1., 1., 11., 11.],
+                         [50., 50., 60., 60.]])
+    probs = jnp.asarray([[0.9, 0.0],
+                         [0.0, 0.8],
+                         [0.7, 0.0]])
+    bx, sc, lb, valid = multiclass_nms(boxes, probs, score_thresh=0.05,
+                                       iou_thresh=0.5, max_out=4)
+    kept = sorted(((float(s), int(l)) for s, l, v in zip(sc, lb, valid) if v),
+                  reverse=True)
+    np.testing.assert_allclose([s for s, _ in kept], [0.9, 0.8, 0.7], rtol=1e-6)
+    assert [l for _, l in kept] == [0, 1, 0]
+    # jittable + same result
+    bx2, sc2, lb2, v2 = jax.jit(
+        lambda b, p: multiclass_nms(b, p, max_out=4))(boxes, probs)
+    np.testing.assert_allclose(np.asarray(sc2), np.asarray(sc))
+
+
+def test_multiclass_nms_suppresses_same_class():
+    from recnext_tpu.tasks.boxes import multiclass_nms
+
+    boxes = jnp.asarray([[0., 0., 10., 10.], [1., 1., 11., 11.]])
+    probs = jnp.asarray([[0.9, 0.0], [0.8, 0.0]])
+    _, sc, _, valid = multiclass_nms(boxes, probs, max_out=4)
+    assert int(valid.sum()) == 1
+    np.testing.assert_allclose(float(sc[0]), 0.9, rtol=1e-6)
