@@ -31,16 +31,21 @@ def poly_schedule(base_lr: float, total_iters: int, power: float = 0.9,
 
 def synthetic_seg_batch(rng: np.random.Generator, batch: int, crop: int,
                         num_classes: int):
-    """Blobby synthetic images+masks for smoke training."""
-    img = rng.normal(size=(batch, crop, crop, 3)).astype(np.float32)
+    """Learnable synthetic scenes: a class-colored disc on noise (the class id
+    determines the disc color, like the detection generator), so the task has
+    actual signal and mIoU measures learning rather than the background prior."""
+    img = rng.normal(scale=0.3, size=(batch, crop, crop, 3)).astype(np.float32)
     yy, xx = np.mgrid[0:crop, 0:crop]
     masks = []
-    for _ in range(batch):
+    for b in range(batch):
         cx, cy = rng.integers(0, crop, 2)
         r = rng.integers(crop // 8, crop // 2)
         cls = int(rng.integers(1, num_classes))
+        inside = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        color = np.random.default_rng(cls).uniform(-1.5, 1.5, 3)
+        img[b][inside] = color + rng.normal(scale=0.1, size=(int(inside.sum()), 3))
         m = np.zeros((crop, crop), np.int32)
-        m[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = cls
+        m[inside] = cls
         masks.append(m)
     return {"image": img, "label": np.stack(masks)}
 
