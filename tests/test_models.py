@@ -218,3 +218,25 @@ def test_frozen_stats_mode():
     before = jax.tree_util.tree_leaves(variables["batch_stats"])
     after = jax.tree_util.tree_leaves(updated["batch_stats"])
     assert all(np.allclose(b, a) for b, a in zip(before, after))
+
+
+@pytest.mark.parametrize("family", ["m", "a"])
+def test_torch_fused_import_through_packed_executor(family):
+    """The published-fused-checkpoint import feeds the lane-packed executor
+    unchanged: torch fused outputs == packed_apply on the converted params
+    (closes the checkpoint -> fast-serving loop end to end)."""
+    from recnext_tpu.convert import torch_fused_to_flax
+    from recnext_tpu.models.packed_infer import packed_apply
+
+    cfg = SMALL[family]
+    torch.manual_seed(5)
+    tm = _torch_model(family, cfg).eval()
+    _randomize_bn_stats(tm, seed=5)
+    tm.fuse()
+    variables = torch_fused_to_flax(tm.state_dict(), family=family)
+    x_t = torch.randn(4, 3, 64, 64)
+    with torch.no_grad():
+        y_t = tm(x_t).numpy()
+    y_p = np.asarray(packed_apply(variables, cfg, jnp.asarray(to_nhwc(x_t)),
+                                  group=2))
+    np.testing.assert_allclose(y_p, y_t, atol=2e-4, rtol=1e-4)
