@@ -122,17 +122,21 @@ Axis precompute_axis(int in_size, float c0, float crop_len, int out, int filter)
         int xmax = static_cast<int>(std::ceil(center + support));
         xmin = std::max(xmin, 0);
         xmax = std::min(xmax, in_size);
-        if (xmax <= xmin) {  // degenerate crop: clamp to nearest pixel
-            xmin = std::max(0, std::min(in_size - 1, static_cast<int>(center)));
-            xmax = xmin + 1;
-        }
         float* w = ax.wgt.data() + static_cast<size_t>(o) * ax.kmax;
         float sum = 0.0f;
-        for (int x = xmin; x < xmax; ++x) {
-            const float k = filter == 1 ? kern_bicubic((x + 0.5f - center) / fscale)
-                                        : kern_bilinear((x + 0.5f - center) / fscale);
-            w[x - xmin] = k;
-            sum += k;
+        if (xmax <= xmin) {  // degenerate crop: nearest pixel with full weight
+            xmin = std::max(0, std::min(in_size - 1, static_cast<int>(center)));
+            xmax = xmin + 1;
+            w[0] = 1.0f;
+            sum = 1.0f;
+        } else {
+            for (int x = xmin; x < xmax; ++x) {
+                const float k = filter == 1
+                    ? kern_bicubic((x + 0.5f - center) / fscale)
+                    : kern_bilinear((x + 0.5f - center) / fscale);
+                w[x - xmin] = k;
+                sum += k;
+            }
         }
         if (sum != 0.0f)
             for (int x = 0; x < xmax - xmin; ++x) w[x] /= sum;

@@ -62,9 +62,14 @@ class Prefetcher:
         stop = object()
 
         def worker():
+            # a pipeline error must reach the consumer, not silently truncate
+            # the epoch (a corrupt file would otherwise end iteration early and
+            # eval would report accuracy over a partial dataset with exit 0)
             try:
                 for item in self._factory():
                     q.put(item)
+            except BaseException as e:  # noqa: BLE001 — re-raised on the consumer side
+                q.put(("__prefetch_error__", e))
             finally:
                 q.put(stop)
 
@@ -74,6 +79,9 @@ class Prefetcher:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] == "__prefetch_error__":
+                raise RuntimeError("input pipeline worker failed") from item[1]
             yield item
 
 
@@ -139,7 +147,6 @@ def _native_eval_batches(dataset, indices, batch_size, size, crop_pct):
 
     from recnext_tpu.data import native as native_io
 
-    scale_size = int(round(size / crop_pct))
     for start in range(0, len(indices), batch_size):
         idx = indices[start : start + batch_size]
         blobs, labels, crops = [], [], []
@@ -154,18 +161,13 @@ def _native_eval_batches(dataset, indices, batch_size, size, crop_pct):
         from PIL import Image
         import io as _io
 
+        from recnext_tpu.data.transforms import center_crop_rect
+
         for j, blob in enumerate(blobs):
             with Image.open(_io.BytesIO(blob)) as im:
                 w, h = im.size
-            # mirror resize_center_crop: short side -> scale_size (rounded dims),
-            # center-crop `size` in resized coords, map back to source floats
-            if w <= h:
-                nw, nh = scale_size, max(1, int(round(h * scale_size / w)))
-            else:
-                nh, nw = scale_size, max(1, int(round(w * scale_size / h)))
-            sx, sy = w / nw, h / nh
-            x, y = (nw - size) // 2, (nh - size) // 2
-            crops[j] = [x * sx, y * sy, size * sx, size * sy, 0.0]
+            cx, cy, cw, ch, _ = center_crop_rect(w, h, size, crop_pct)
+            crops[j] = [cx, cy, cw, ch, 0.0]
         out = native_io.batch_decode_crop(blobs, np.asarray(crops, np.float32),
                                           size, n_threads=4)
         if out is None:  # fallback mid-stream (corrupt file): PIL per-sample

@@ -19,7 +19,11 @@ from recnext_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
 _ROOT = Path(__file__).resolve().parents[2]
 _SRC = _ROOT / "native" / "recnext_io.cpp"
-_SO = _ROOT / "native" / "build" / "librecnext_io.so"
+_ABI_VERSION = 2  # must match rn_version() in recnext_io.cpp
+# ABI-versioned filename: a prebuilt .so from an older ABI can sit in a fresh
+# checkout with mtime >= source; dlopen caches by path in-process so an
+# in-place rebuild cannot take effect — a new name per ABI sidesteps both.
+_SO = _ROOT / "native" / "build" / f"librecnext_io.v{_ABI_VERSION}.so"
 _LIB = None
 _FAILED = False
 
@@ -35,16 +39,6 @@ def _build() -> bool:
         return False
 
 
-_ABI_VERSION = 2  # must match rn_version() in recnext_io.cpp
-
-
-def _load() -> Optional[ctypes.CDLL]:
-    try:
-        return ctypes.CDLL(str(_SO))
-    except OSError:
-        return None
-
-
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _FAILED
     if _LIB is not None or _FAILED:
@@ -53,13 +47,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if not _build():
             _FAILED = True
             return None
-    lib = _load()
-    # a checked-out prebuilt .so can be newer than the source by mtime yet built
-    # from an older ABI — verify the version stamp and rebuild once if stale
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        lib = None
+    # backstop only (e.g. a hand-built stale file under the versioned name);
+    # a failed check disables the native path rather than corrupting memory
     if lib is not None and lib.rn_version() != _ABI_VERSION:
-        lib = _load() if _build() else None
-        if lib is not None and lib.rn_version() != _ABI_VERSION:
-            lib = None
+        lib = None
     if lib is None:
         _FAILED = True
         return None

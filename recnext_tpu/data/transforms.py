@@ -56,13 +56,25 @@ def random_resized_crop(
     return img.resize((size, size), BICUBIC, box=(x, y, x + s, y + s))
 
 
-def resize_center_crop(img: Image.Image, size: int, crop_pct: float = 224 / 256) -> Image.Image:
+def center_crop_rect(w: int, h: int, size: int, crop_pct: float = 224 / 256):
+    """The source-image float rect that resize_center_crop maps onto the final
+    (size x size) crop: (cx, cy, cw, ch). Single source of truth for the
+    short-side-resize rounding, shared with the native loader's fused
+    crop-resample path (data/loader.py) so its geometry is EXACTLY the PIL
+    path's."""
     scale_size = int(round(size / crop_pct))
-    w, h = img.size
     if w <= h:
         nw, nh = scale_size, max(1, int(round(h * scale_size / w)))
     else:
         nh, nw = scale_size, max(1, int(round(w * scale_size / h)))
+    sx, sy = w / nw, h / nh
+    x, y = (nw - size) // 2, (nh - size) // 2
+    return x * sx, y * sy, size * sx, size * sy, (nw, nh)
+
+
+def resize_center_crop(img: Image.Image, size: int, crop_pct: float = 224 / 256) -> Image.Image:
+    w, h = img.size
+    _, _, _, _, (nw, nh) = center_crop_rect(w, h, size, crop_pct)
     img = img.resize((nw, nh), BICUBIC)
     x, y = (nw - size) // 2, (nh - size) // 2
     return img.crop((x, y, x + size, y + size))

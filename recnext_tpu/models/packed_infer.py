@@ -33,7 +33,6 @@ reference's CoreML/TensorRT export paths — /root/reference/export_coreml.py).
 
 from __future__ import annotations
 
-from math import gcd
 from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
@@ -49,14 +48,6 @@ from recnext_tpu.ops.attention import (
 from recnext_tpu.ops.conv import conv2d
 from recnext_tpu.ops.recconv import rec_conv2d
 from recnext_tpu.ops.resize import resize
-
-
-def lane_group(c: int, batch: int, max_group: int = 16) -> int:
-    """Smallest g with (g*c) % 128 == 0, capped by batch divisibility."""
-    g = 128 // gcd(c, 128)
-    while g > 1 and (batch % g != 0 or g > max_group):
-        g //= 2
-    return max(g, 1)
 
 
 # Per-variant measured optima (v5e, batch 256, PERF.md round-2 policy sweep).

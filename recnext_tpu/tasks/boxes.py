@@ -139,10 +139,11 @@ def multiclass_nms(
         return boxes[idx], s[idx] * m, m
 
     bx, sc, mk = jax.vmap(one_class, in_axes=1)(probs)  # (C, max_out, ...)
+    del mk  # sc is already zeroed on dropped slots (s[idx] * m in one_class)
     labels = jnp.broadcast_to(
         jnp.arange(num_classes, dtype=jnp.int32)[:, None], (num_classes, max_out))
     bx = bx.reshape(num_classes * max_out, 4)
-    sc = jnp.where(mk, sc, 0.0).reshape(num_classes * max_out)
+    sc = sc.reshape(num_classes * max_out)
     labels = labels.reshape(num_classes * max_out)
     top_s, top_i = jax.lax.top_k(sc, max_out)
     valid = top_s > 0.0

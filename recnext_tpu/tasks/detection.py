@@ -202,20 +202,32 @@ def make_detection_train_step(model: RetinaNet, tx, anchors: jnp.ndarray,
 def retinanet_postprocess(cls_scores: jnp.ndarray, bbox_preds: jnp.ndarray,
                           anchors: jnp.ndarray, *, score_thresh: float = 0.05,
                           iou_thresh: float = 0.5, max_det: int = 100,
-                          nms_pre: int = 1000):
+                          nms_pre: int = 1000,
+                          level_sizes: Optional[Sequence[int]] = None):
     """Single-image inference decode: sigmoid scores -> top-nms_pre prefilter
-    (mmdet's nms_pre=1000, configs/_base_/models/retinanet_r50_fpn.py) ->
-    per-class NMS (mmdet multiclass_nms semantics; fixed-shape, jittable).
-    Without the prefilter the NMS IoU matrix over every anchor of a P2-P6
-    pyramid is quadratic in image area (154 GB at img 128, batch 8).
-    Returns (boxes (max_det, 4), scores, labels, valid_mask)."""
+    (mmdet's nms_pre=1000, configs/_base_/models/retinanet_r50_fpn.py; applied
+    PER LEVEL when `level_sizes` gives the anchor count of each pyramid level,
+    as mmdet does — a global top-k would let dense coarse-level scores evict
+    fine-level small-object candidates) -> per-class NMS (mmdet multiclass_nms
+    semantics; fixed-shape, jittable). Without the prefilter the NMS IoU matrix
+    over every anchor of a P2-P6 pyramid is quadratic in image area (154 GB at
+    img 128, batch 8). Returns (boxes (max_det, 4), scores, labels, valid)."""
     from recnext_tpu.tasks.boxes import decode_boxes, multiclass_nms
 
     probs = jax.nn.sigmoid(cls_scores.astype(jnp.float32))  # (A, C)
     best_score = jnp.max(probs, axis=-1)
     boxes = decode_boxes(anchors, bbox_preds.astype(jnp.float32))
-    k = min(nms_pre, best_score.shape[0])
-    _, top_idx = jax.lax.top_k(best_score, k)
+    if level_sizes is None:
+        level_sizes = [best_score.shape[0]]
+    assert sum(level_sizes) == best_score.shape[0], \
+        f"level_sizes {level_sizes} != {best_score.shape[0]} anchors"
+    idx_parts, start = [], 0
+    for n in level_sizes:
+        k = min(nms_pre, n)
+        _, li = jax.lax.top_k(jax.lax.dynamic_slice_in_dim(best_score, start, n), k)
+        idx_parts.append(li + start)
+        start += n
+    top_idx = jnp.concatenate(idx_parts)
     return multiclass_nms(boxes[top_idx], probs[top_idx],
                           score_thresh=score_thresh, iou_thresh=iou_thresh,
                           max_out=max_det)

@@ -258,12 +258,16 @@ def main(argv=None):
         train_step = jax.jit(make_detection_train_step(
             model, tx, anchors, num_classes=args.num_classes, seed=args.seed))
 
+        num_anchor_shapes = 9  # 3 scales x 3 ratios (generate_anchors defaults)
+        level_sizes = tuple(h * w * num_anchor_shapes for h, w in feat_shapes)
+
         @jax.jit
         def predict_fn(variables_, images):
             cls_scores, bbox_preds = model.apply(variables_, images, training=False)
             boxes, scores, labels, valid = jax.vmap(
                 lambda c, bx: retinanet_postprocess(
-                    c, bx, anchors, score_thresh=args.eval_score_thresh)
+                    c, bx, anchors, score_thresh=args.eval_score_thresh,
+                    level_sizes=level_sizes)
             )(cls_scores, bbox_preds)
             return boxes, scores, labels, None, valid
     else:

@@ -131,10 +131,19 @@ def main(argv=None):
               "fused": args.fused, "ema": args.ema, "packed": args.packed}
     print(json.dumps(result))
     if args.results_file:
-        exists = Path(args.results_file).exists()
-        with open(args.results_file, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(result.keys()))
-            if not exists:
+        path = Path(args.results_file)
+        fieldnames = list(result.keys())
+        need_header = not path.exists() or path.stat().st_size == 0
+        if not need_header:
+            # appending to a file from an older schema: honor ITS header so the
+            # CSV stays rectangular (new fields are dropped for that file)
+            with open(path, newline="") as f:
+                header = f.readline().strip()
+            if header:
+                fieldnames = header.split(",")
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fieldnames, extrasaction="ignore")
+            if need_header:
                 w.writeheader()
             w.writerow(result)
     return result

@@ -174,3 +174,18 @@ def test_loader_batches():
     ev = eval_loader(FakeData(20, 32), EvalTransform(32), batch_size=8)
     sizes = [b["image"].shape[0] for b in iter(ev)]
     assert sum(sizes) == 20
+
+
+def test_prefetcher_propagates_worker_errors():
+    """A corrupt sample must raise at the consumer, not silently truncate the
+    epoch (a truncated eval would report accuracy over a partial dataset)."""
+    from recnext_tpu.data.loader import Prefetcher
+
+    def bad_gen():
+        yield {"image": 1}
+        raise ValueError("corrupt file")
+
+    it = iter(Prefetcher(lambda: bad_gen()))
+    assert next(it) == {"image": 1}
+    with pytest.raises(RuntimeError, match="input pipeline worker failed"):
+        next(it)

@@ -103,14 +103,10 @@ def test_native_bicubic_matches_pil_eval_transform():
         size = 64
         t = EvalTransform(size)
         want = t(None, Image.open(io.BytesIO(blob)))
-        scale_size = int(round(size / t.crop_pct))
-        if w <= h:
-            nw, nh = scale_size, max(1, int(round(h * scale_size / w)))
-        else:
-            nh, nw = scale_size, max(1, int(round(w * scale_size / h)))
-        sx, sy = w / nw, h / nh
-        x, y = (nw - size) // 2, (nh - size) // 2
-        crops = np.asarray([[x * sx, y * sy, size * sx, size * sy, 0]], np.float32)
+        from recnext_tpu.data.transforms import center_crop_rect
+
+        cx, cy, cw, ch, _ = center_crop_rect(w, h, size, t.crop_pct)
+        crops = np.asarray([[cx, cy, cw, ch, 0]], np.float32)
         got = native_io.batch_decode_crop([blob], crops, size)[0]
         d = np.abs(got - want) * IMAGENET_STD[None, None]
         assert d.max() < 0.02, (w, h, d.max())

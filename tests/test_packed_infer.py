@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from recnext_tpu.fusion import fuse_params
-from recnext_tpu.models.packed_infer import lane_group, pack, packed_apply, unpack
+from recnext_tpu.models.packed_infer import pack, packed_apply, unpack
 from recnext_tpu.models.recnext import RecNext, RecNextConfig
 
 CFG = RecNextConfig(name="tiny_m", family="m", embed_dim=(24, 48, 96, 192),
@@ -20,16 +20,6 @@ def test_pack_unpack_roundtrip(rng):
         z = pack(x, g)
         assert z.shape == (8 // g, 6, 6, 24 * g)
         np.testing.assert_array_equal(np.asarray(unpack(z, g, 8)), np.asarray(x))
-
-
-def test_lane_group_rule():
-    assert lane_group(48, 256) == 8    # 48*8 = 384 = 3 lane tiles
-    assert lane_group(96, 256) == 4
-    assert lane_group(192, 256) == 2
-    assert lane_group(384, 256) == 1
-    assert lane_group(40, 256) == 16   # 640 = 5 tiles
-    assert lane_group(48, 4) == 4      # capped by batch divisibility
-    assert lane_group(48, 3) == 1
 
 
 @pytest.mark.parametrize("group", [1, 2, 4])
