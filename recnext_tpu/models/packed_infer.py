@@ -22,8 +22,9 @@ the qk projection (a groups=2 1x1 conv) tiles to groups=2g with the same
 kernel-repeat as every other per-channel parameter, and the per-head fp32
 normalizer never mixes images.
 
-Numerically EXACT vs RecNext(fused=True).apply for the m family (same params,
-same op order) — asserted in tests/test_packed_infer.py. Inference-only: BN is
+Numerically EXACT vs RecNext(fused=True).apply for both families (same params,
+same op order) — asserted in tests/test_packed_infer.py, including a slow sweep
+over every m/a registry variant. Inference-only: BN is
 already folded into affines/conv biases in the fused layout, so there are no
 cross-image batch statistics to corrupt.
 
@@ -134,8 +135,8 @@ def _packed_linear_attention(qk: jnp.ndarray, v: jnp.ndarray, g: int,
 def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
                  *, group: Optional[int] = None,
                  groups: Optional[Tuple[int, ...]] = None) -> jnp.ndarray:
-    """Fused-inference forward for family 'm', numerically identical to
-    RecNext(cfg, fused=True).apply(variables, x, training=False).
+    """Fused-inference forward for the m and a families, numerically identical
+    to RecNext(cfg, fused=True).apply(variables, x, training=False).
 
     `groups` gives the per-stage packing factor (1 = plain layout). Defaults to
     the measured `default_groups` policy; `group` forces one factor everywhere."""
