@@ -213,3 +213,28 @@ def test_eval_step_counts():
     assert int(mp["count"]) == 4
     assert float(mp["loss_sum"]) == pytest.approx(float(m["loss_sum"]), rel=1e-5)
     assert int(mp["correct1"]) == int(m["correct1"])
+
+
+def test_sharded_inference_with_packed_executor():
+    """The lane-packed executor serves through the sharded-inference wrapper:
+    batch sharded over the mesh, packed forward, logits == fused apply."""
+    from recnext_tpu.fusion import fuse_params
+    from recnext_tpu.models.packed_infer import packed_apply
+    from recnext_tpu.parallel.serving import make_sharded_inference
+
+    cfg = TINY
+    model = RecNext(cfg=cfg)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(16, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    fused_vars = fuse_params(variables)
+    fused = RecNext(cfg=cfg, fused=True)
+    want = np.asarray(fused.apply(fused_vars, x, training=False))
+
+    mesh = make_mesh(8)
+    infer = make_sharded_inference(
+        fused, fused_vars, mesh,
+        apply_fn=lambda v, xx: packed_apply(v, cfg, xx, group=2))
+    with mesh:
+        got = np.asarray(infer(x))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-5)
