@@ -49,6 +49,16 @@ def model_flops(model_name: str, input_size: int = 224, fused: bool = True,
 
 
 def main():
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):  # honor explicit platform over site default
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     import argparse
     import json
 

@@ -71,6 +71,17 @@ def make_card(model_name: str, throughput: float | None = None) -> str:
 
 
 def main(argv=None):
+    import os
+
+    import jax
+
+    # honor an explicit JAX_PLATFORMS over any site default (the cost analysis
+    # must not claim the single-client TPU just to count MACs on CPU)
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True)
     p.add_argument("--out", default="cards")

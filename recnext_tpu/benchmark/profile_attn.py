@@ -36,6 +36,16 @@ def similarity(a: np.ndarray, b: np.ndarray) -> dict:
 
 
 def main(argv=None):
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):  # honor explicit platform over site default
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     p = argparse.ArgumentParser()
     p.add_argument("--resolution", type=int, default=16)
     p.add_argument("--dim", type=int, default=256)
