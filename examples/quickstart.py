@@ -54,4 +54,15 @@ with tempfile.TemporaryDirectory() as d:
     blob = export_stablehlo(NAME, restored, batch=2, dtype=jnp.float32)
     print(f"stablehlo artifact: {len(blob)/1e6:.1f} MB")
 
+    # lane-packed serving executor (m/a families): numerically exact, measured
+    # +8-69% per variant on v5e (PERF.md round 2; policy MEASURED_GROUPS)
+    from recnext_tpu.models.registry import get_config
+    from recnext_tpu.models.packed_infer import packed_apply
+
+    packed_logits = packed_apply(restored, get_config(NAME), x, group=2)
+    rel = float(jnp.abs(packed_logits - fused_logits).max()
+                / (jnp.abs(fused_logits).max() + 1e-9))
+    print(f"packed executor parity max relative diff = {rel:.2e}")
+    assert rel < 1e-4
+
 print("quickstart OK")
