@@ -48,7 +48,7 @@ from recnext_tpu.ops.attention import (
 )
 from recnext_tpu.ops.conv import conv2d
 from recnext_tpu.ops.recconv import rec_conv2d
-from recnext_tpu.ops.resize import resize
+from recnext_tpu.ops.resize import resize, resize_matmul
 
 
 # Per-variant measured optima (v5e, batch 256, PERF.md round-2 policy sweep).
@@ -134,7 +134,8 @@ def _packed_linear_attention(qk: jnp.ndarray, v: jnp.ndarray, g: int,
 
 def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
                  *, group: Optional[int] = None,
-                 groups: Optional[Tuple[int, ...]] = None) -> jnp.ndarray:
+                 groups: Optional[Tuple[int, ...]] = None,
+                 nearest_upsample: str = "gather") -> jnp.ndarray:
     """Fused-inference forward for the m and a families, numerically identical
     to RecNext(cfg, fused=True).apply(variables, x, training=False).
 
@@ -228,7 +229,10 @@ def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
                 o = o + cv({"kernel": _tile(jnp.asarray(tm["attn"]["pe"]["conv"]["kernel"], dt), g),
                             "bias": _tile(jnp.asarray(tm["attn"]["pe"]["conv"]["bias"], dt), g)},
                            yd, padding=1, groups=g * c)
-                o = resize(o, (x.shape[1], x.shape[2]), mode="nearest")
+                if nearest_upsample == "matmul":
+                    o = resize_matmul(o, (x.shape[1], x.shape[2]), mode="nearest")
+                else:
+                    o = resize(o, (x.shape[1], x.shape[2]), mode="nearest")
                 y = cv({"kernel": _tile(jnp.asarray(tm["conv"]["conv"]["kernel"], dt), g),
                         "bias": _tile(jnp.asarray(tm["conv"]["conv"]["bias"], dt), g)},
                        x + o, padding=k // 2, groups=g * c)

@@ -66,6 +66,11 @@ def test_packed_matches_fused_apply_a_family(rng, group):
     want = np.asarray(fused.apply(fused_vars, x, training=False))
     got = np.asarray(packed_apply(fused_vars, CFG_A, x, group=group))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-5)
+    # the MXU-matmul form of the nearest upsample is the same function
+    # (measured neutral-to-slower on v5e — PERF.md; kept selectable)
+    got_mm = np.asarray(packed_apply(fused_vars, CFG_A, x, group=group,
+                                     nearest_upsample="matmul"))
+    np.testing.assert_allclose(got_mm, want, atol=2e-4, rtol=2e-5)
 
 
 def test_packed_default_groups_a_family(rng):
