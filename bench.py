@@ -214,7 +214,15 @@ def main():
     p.add_argument("--upsample", default="matmul", choices=["gather", "matmul"])
     p.add_argument("--no-packed", action="store_true",
                    help="disable the lane-packed m/a-family executor")
+    p.add_argument("--compile-cache", default="",
+                   help="persistent XLA compilation cache dir (or env "
+                        "RECNEXT_COMPILE_CACHE); warm restarts skip the "
+                        "2-4 min first compile")
     args = p.parse_args()
+
+    from recnext_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache or None)
 
     kw = {}
     if args.model.startswith("recnext_m"):

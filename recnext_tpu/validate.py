@@ -39,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
     p.add_argument("--results-file", default="", help="append a CSV row here")
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--compile-cache", default="",
+                   help="persistent XLA compilation cache dir (or env "
+                        "RECNEXT_COMPILE_CACHE)")
     p.add_argument("--native-loader", action="store_true",
                    help="C++ decode+resize fast path (bilinear, ImageFolder only)")
     return p.parse_args(argv)
@@ -84,6 +87,9 @@ def main(argv=None):
     from recnext_tpu.data.loader import eval_loader
     from recnext_tpu.data.transforms import EvalTransform
     from recnext_tpu.models.registry import create_model
+    from recnext_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache or None)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     ds, nb_classes = build_dataset(False, args.data_set, args.data_path, args.input_size)

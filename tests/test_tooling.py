@@ -131,3 +131,17 @@ def test_validate_cli_packed_matches_plain(tmp_path):
     assert packed["top1"] == plain["top1"]
     assert packed["top5"] == plain["top5"]
     assert packed["count"] == plain["count"]
+
+
+def test_compile_cache_populates(tmp_path):
+    """enable_compile_cache stores compiled executables for warm restarts."""
+    import jax
+    import jax.numpy as jnp
+
+    from recnext_tpu.utils.cache import enable_compile_cache
+
+    assert enable_compile_cache(None) is None  # no-op without a path
+    d = tmp_path / "xla_cache"
+    assert enable_compile_cache(str(d)) == str(d)
+    jax.jit(lambda x: x * 2 + 1)(jnp.ones((64, 64)))
+    assert any(d.iterdir()), "cache dir stayed empty"
