@@ -191,6 +191,10 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="auto-resume from the latest checkpoint in output-dir")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compile-cache", default="",
+                   help="persistent XLA compilation cache dir (or env "
+                        "RECNEXT_COMPILE_CACHE); preempted/restarted jobs "
+                        "skip recompilation")
     p.add_argument("--output-dir", default="runs/det")
     args = p.parse_args(argv)
 
@@ -199,6 +203,9 @@ def main(argv=None):
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
             pass
+    from recnext_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(getattr(args, "compile_cache", None) or None)
     import optax
     import orbax.checkpoint as ocp
 

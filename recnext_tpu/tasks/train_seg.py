@@ -65,6 +65,9 @@ def main(argv=None):
     p.add_argument("--data-path", default="")
     p.add_argument("--init-ckpt", default="", help="classification ckpt (.pth/orbax)")
     p.add_argument("--output-dir", default="runs/seg")
+    p.add_argument("--compile-cache", default="",
+                   help="persistent XLA compilation cache dir (or env "
+                        "RECNEXT_COMPILE_CACHE)")
     p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
     args = p.parse_args(argv)
 
@@ -73,6 +76,9 @@ def main(argv=None):
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
             pass
+    from recnext_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(getattr(args, "compile_cache", None) or None)
     import optax
 
     from recnext_tpu.models.registry import get_config

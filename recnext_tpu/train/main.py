@@ -90,6 +90,10 @@ def parse_args(argv=None):
     p.add_argument("--eval", action="store_true")
     p.add_argument("--eval-ema", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compile-cache", default="",
+                   help="persistent XLA compilation cache dir (or env "
+                        "RECNEXT_COMPILE_CACHE); preempted/restarted jobs "
+                        "skip recompilation")
     # system
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--fsdp", type=int, default=1)
@@ -133,6 +137,9 @@ def main(argv=None):
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
             pass
+    from recnext_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(getattr(args, "compile_cache", None) or None)
     # multi-host bring-up BEFORE any JAX backend use (utils.py:202-224 counterpart)
     from recnext_tpu.parallel import init_distributed
 
