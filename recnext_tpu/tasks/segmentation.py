@@ -150,6 +150,32 @@ def seg_train_sample(rng: np.random.Generator, img, seg: np.ndarray, crop: int,
     return arr, seg
 
 
+def seg_eval_sample(img, seg: np.ndarray, crop: int, ignore_index: int = 255):
+    """Deterministic eval sample at a fixed (crop, crop) shape: scale the SHORT
+    side to `crop` (aspect kept), center crop, pad-with-ignore — the fixed-shape
+    stand-in for mmseg's whole-image eval so the jitted eval step compiles once.
+    img: PIL; seg: (H, W) int labels. Returns ((crop,crop,3) f32, (crop,crop) i32)."""
+    from PIL import Image
+
+    from recnext_tpu.data.transforms import normalize
+
+    w, h = img.size
+    f = crop / min(w, h)
+    nw, nh = max(1, int(round(w * f))), max(1, int(round(h * f)))
+    img = img.resize((nw, nh), Image.BILINEAR)
+    seg_img = Image.fromarray(seg.astype(np.int32), mode="I").resize((nw, nh),
+                                                                     Image.NEAREST)
+    seg = np.asarray(seg_img, dtype=np.int32)
+    arr = normalize(img).astype(np.float32)
+    ph, pw = max(crop - nh, 0), max(crop - nw, 0)
+    if ph or pw:
+        arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)))
+        seg = np.pad(seg, ((0, ph), (0, pw)), constant_values=ignore_index)
+    y = (arr.shape[0] - crop) // 2
+    x = (arr.shape[1] - crop) // 2
+    return arr[y:y + crop, x:x + crop], seg[y:y + crop, x:x + crop]
+
+
 def align_resize(img: np.ndarray, seg: Optional[np.ndarray] = None,
                  scale: Tuple[int, int] = (2048, 512), size_divisor: int = 32):
     """Eval-time AlignResize: keep-ratio resize to `scale`, then round BOTH dims up to

@@ -127,10 +127,10 @@ def main(argv=None):
     rng_np = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
-    seg_ds = None
+    seg_ds = val_ds = None
     if args.data_set == "FOLDER":
         from recnext_tpu.data.datasets import SegFolder
-        from recnext_tpu.tasks.segmentation import seg_train_sample
+        from recnext_tpu.tasks.segmentation import seg_eval_sample, seg_train_sample
 
         if not args.data_path:
             raise SystemExit("--data-set FOLDER requires --data-path")
@@ -139,6 +139,12 @@ def main(argv=None):
             raise SystemExit(
                 f"no image/annotation pairs under {args.data_path}/images/training "
                 f"+ annotations/training — check --data-path")
+        try:
+            val_ds = SegFolder(args.data_path, split="validation")
+            if len(val_ds) == 0:
+                val_ds = None
+        except Exception:
+            val_ds = None
 
         def next_batch(rng):
             imgs, segs = [], []
@@ -153,16 +159,42 @@ def main(argv=None):
             return synthetic_seg_batch(rng, args.batch_size, args.crop,
                                        args.num_classes)
 
+    def val_miou(state):
+        """mmseg-style eval over the validation split (fixed-shape center-crop
+        samples so the jitted eval step compiles once); global inter/union."""
+        from recnext_tpu.tasks.segmentation import seg_eval_sample
+
+        inter_t = np.zeros(args.num_classes)
+        union_t = np.zeros(args.num_classes)
+        n = len(val_ds)
+        for start in range(0, n, args.batch_size):
+            idx = list(range(start, min(start + args.batch_size, n)))
+            pad = args.batch_size - len(idx)
+            samples = [seg_eval_sample(*val_ds[i], args.crop) for i in idx]
+            imgs = np.stack([a for a, _ in samples] + [samples[0][0]] * pad)
+            segs = np.stack([s for _, s in samples]
+                            + [np.full_like(samples[0][1], 255)] * pad)
+            inter, union = eval_step(state, {"image": jnp.asarray(imgs),
+                                             "label": jnp.asarray(segs)})
+            inter_t += np.asarray(inter)
+            union_t += np.asarray(union)
+        seen = union_t > 0
+        return float(np.mean(inter_t[seen] / union_t[seen])) if seen.any() else 0.0
+
     t0 = time.time()
     for it in range(args.iters):
         batch = next_batch(rng_np)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, loss = train_step(state, batch, jax.random.fold_in(key, it))
         if (it + 1) % args.eval_every == 0 or it + 1 == args.iters:
-            inter, union = eval_step(state, batch)
-            inter, union = np.asarray(inter), np.asarray(union)
-            seen = union > 0
-            m = float(np.mean(inter[seen] / union[seen])) if seen.any() else 0.0
+            if val_ds is not None:
+                # mmseg role: mIoU over the validation split
+                m = val_miou(state)
+            else:
+                inter, union = eval_step(state, batch)
+                inter, union = np.asarray(inter), np.asarray(union)
+                seen = union > 0
+                m = float(np.mean(inter[seen] / union[seen])) if seen.any() else 0.0
             rec = {"iter": it + 1, "loss": float(loss), "mIoU": round(100 * m, 2),
                    "elapsed_s": round(time.time() - t0, 1)}
             print(json.dumps(rec), flush=True)
