@@ -5,6 +5,15 @@ frozen-BN backbone init from a classification checkpoint).
 
 Smoke: python -m recnext_tpu.tasks.train_seg --backbone recnext_m3 --data-set FAKE \
     --iters 20 --eval-every 10 --crop 128 --batch-size 4
+
+Reading the numbers: the per-eval "loss" is a SINGLE batch's loss — with
+mostly-ignore crops it spikes to 2-5x the running mean, so judge convergence by
+the trend. On tiny FOLDER datasets the val mIoU is a macro mean over classes,
+and a class with one or two held-out instances swings it by whole tens of
+points (diagnosed in round 2: train mean 0.47 with val mIoU 48 where 5/7
+classes sat at 0.6-0.8 and one rare class at 0). The committed learning
+evidence uses the FAKE stream (examples/logs/fake_seg_semfpn_m0_tpu.log,
+mIoU 95) where every eval sees all classes.
 """
 
 from __future__ import annotations
