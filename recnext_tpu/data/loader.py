@@ -50,6 +50,14 @@ def _batches(dataset, transform, indices, batch_size, seed, drop_last,
         }
 
 
+class _PrefetchError:
+    """Out-of-band wrapper so a worker exception can never collide with a
+    legitimately-yielded item (e.g. a factory that yields 2-tuples)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class Prefetcher:
     """Runs the sample pipeline in a background thread, keeping `depth` batches ready."""
 
@@ -69,7 +77,7 @@ class Prefetcher:
                 for item in self._factory():
                     q.put(item)
             except BaseException as e:  # noqa: BLE001 — re-raised on the consumer side
-                q.put(("__prefetch_error__", e))
+                q.put(_PrefetchError(e))
             finally:
                 q.put(stop)
 
@@ -79,9 +87,8 @@ class Prefetcher:
             item = q.get()
             if item is stop:
                 break
-            if isinstance(item, tuple) and len(item) == 2 \
-                    and item[0] == "__prefetch_error__":
-                raise RuntimeError("input pipeline worker failed") from item[1]
+            if isinstance(item, _PrefetchError):
+                raise RuntimeError("input pipeline worker failed") from item.exc
             yield item
 
 

@@ -43,7 +43,8 @@ def parse_args(argv=None):
                    help="persistent XLA compilation cache dir (or env "
                         "RECNEXT_COMPILE_CACHE)")
     p.add_argument("--native-loader", action="store_true",
-                   help="C++ decode+resize fast path (bilinear, ImageFolder only)")
+                   help="C++ decode+resize fast path (PIL-parity antialiased "
+                        "bicubic, ImageFolder only — see PARITY.md)")
     return p.parse_args(argv)
 
 

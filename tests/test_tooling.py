@@ -140,8 +140,17 @@ def test_compile_cache_populates(tmp_path):
 
     from recnext_tpu.utils.cache import enable_compile_cache
 
-    assert enable_compile_cache(None) is None  # no-op without a path
-    d = tmp_path / "xla_cache"
-    assert enable_compile_cache(str(d)) == str(d)
-    jax.jit(lambda x: x * 2 + 1)(jnp.ones((64, 64)))
-    assert any(d.iterdir()), "cache dir stayed empty"
+    # the global cache config must not leak into later tests in this process
+    keys = ("jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes")
+    saved = {k: getattr(jax.config, k) for k in keys}
+    try:
+        assert enable_compile_cache(None) is None  # no-op without a path
+        d = tmp_path / "xla_cache"
+        assert enable_compile_cache(str(d)) == str(d)
+        jax.jit(lambda x: x * 2 + 1)(jnp.ones((64, 64)))
+        assert any(d.iterdir()), "cache dir stayed empty"
+    finally:
+        for k, v in saved.items():
+            jax.config.update(k, v)
