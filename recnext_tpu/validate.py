@@ -45,7 +45,57 @@ def parse_args(argv=None):
     p.add_argument("--native-loader", action="store_true",
                    help="C++ decode+resize fast path (PIL-parity antialiased "
                         "bicubic, ImageFolder only — see PARITY.md)")
+    p.add_argument("--real-labels", default="",
+                   help="JSON of reassessed labels ('Are we done with ImageNet'): "
+                        "either the original real.json list (ImageNet val order) or "
+                        "a {basename: [labels]} dict; top-1/5 are replaced by "
+                        "real-label accuracy (moganet_valid.py:124,215-216)")
+    p.add_argument("--valid-labels", default="",
+                   help="file with one class index per line: restrict the output "
+                        "space to this subset before scoring "
+                        "(moganet_valid.py:126,207-210)")
+    p.add_argument("--test-pool", action="store_true",
+                   help="test-time pooling at input sizes > 224 (requires --fused): "
+                        "window-avg-pool the final feature map at the native 7x7 "
+                        "pool size, apply the classifier per position, then "
+                        "0.5*(avg+max) over positions; crop-pct forced to 1.0 "
+                        "(timm apply_test_time_pool, moganet_valid.py:183-185)")
     return p.parse_args(argv)
+
+
+class RealLabels:
+    """Reassessed-label scorer (timm RealLabelsImagenet counterpart,
+    /root/reference/moganet_valid.py:28,215-216,286-288): a prediction is correct
+    if any of its top-k classes is in the sample's reassessed label set; samples
+    with an empty set are skipped. Accepts the original real.json (a list in
+    ImageNet val order, filenames ILSVRC2012_val_%08d.JPEG) or {basename: [labels]}."""
+
+    def __init__(self, filenames, real_json: str, topk=(1, 5)):
+        with open(real_json) as f:
+            data = json.load(f)
+        if isinstance(data, list):
+            data = {f"ILSVRC2012_val_{i + 1:08d}.JPEG": v for i, v in enumerate(data)}
+        self._labels = data
+        self._filenames = [os.path.basename(str(f)) for f in filenames]
+        self._topk = topk
+        self._correct = {k: 0 for k in topk}
+        self._scored = 0
+        self._idx = 0
+
+    def add_results(self, logits: np.ndarray):
+        maxk = max(self._topk)
+        preds = np.argsort(logits, axis=-1)[:, : -maxk - 1 : -1]
+        for pred in preds:
+            labels = self._labels.get(self._filenames[self._idx])
+            if labels:
+                self._scored += 1
+                for k in self._topk:
+                    if any(int(p) in labels for p in pred[:k]):
+                        self._correct[k] += 1
+            self._idx += 1
+
+    def accuracy(self, k: int) -> float:
+        return 100.0 * self._correct[k] / max(self._scored, 1)
 
 
 def load_variables(args, model, fused_model):
@@ -99,6 +149,20 @@ def main(argv=None):
     variables = load_variables(args, model, fused_model)
     net = fused_model if args.fused else model
 
+    # test-time pooling activates only above the native train resolution, like
+    # timm's apply_test_time_pool(use_test_size=True); when active, crop_pct=1.0
+    test_pool = False
+    if args.test_pool:
+        if args.packed:
+            raise SystemExit("--test-pool is incompatible with --packed")
+        if not args.fused:
+            raise SystemExit("--test-pool requires --fused (single-linear head)")
+        if args.input_size > 224:
+            test_pool = True
+            args.crop_pct = 1.0
+        else:
+            print(f"test-pool inactive: input {args.input_size} <= native 224")
+
     if args.packed:
         from recnext_tpu.models.packed_infer import packed_apply
         from recnext_tpu.models.registry import get_config
@@ -112,10 +176,42 @@ def main(argv=None):
             # default_groups reads the (static) batch from the trace, so the
             # ragged final batch just retraces with its own packing factors
             return packed_apply(variables, cfg, x)
+    elif test_pool:
+        import flax.linen as fnn
+
+        pool = 224 // 32  # the model's native final feature size
+        head = variables["params"]["head"]["head"]["linear"]
+
+        @jax.jit
+        def fwd(x):
+            feats = net.apply(variables, x, training=False,
+                              method=net.forward_features).astype(jnp.float32)
+            pooled = fnn.avg_pool(feats, (pool, pool), strides=(1, 1),
+                                  padding="VALID")
+            logits = jnp.einsum("bhwc,cn->bhwn", pooled,
+                                head["kernel"].astype(jnp.float32)) + head["bias"]
+            # timm adaptive_avgmax_pool2d over the positional logits
+            return 0.5 * (logits.mean(axis=(1, 2)) + logits.max(axis=(1, 2)))
     else:
         @jax.jit
         def fwd(x):
             return net.apply(variables, x, training=False)
+
+    valid_cols = None
+    if args.valid_labels:
+        with open(args.valid_labels) as f:
+            valid_cols = np.asarray(sorted({int(line) for line in f if line.strip()}))
+
+    real = None
+    if args.real_labels:
+        samples = getattr(ds, "samples", None)
+        if samples is None:
+            raise SystemExit(f"--real-labels needs a dataset with file names "
+                             f"(got {args.data_set})")
+        from recnext_tpu.data.loader import distributed_eval_indices
+
+        order = distributed_eval_indices(len(ds), 0, 1)
+        real = RealLabels([samples[int(i)][0] for i in order], args.real_labels)
 
     c1 = c5 = n = 0
     t0 = time.time()
@@ -125,17 +221,27 @@ def main(argv=None):
         if args.max_batches and i >= args.max_batches:
             break
         logits = np.asarray(fwd(jnp.asarray(batch["image"], dtype)))
+        if valid_cols is not None:
+            logits = logits[:, valid_cols]
+        if real is not None:
+            real.add_results(logits)
         top5 = np.argsort(logits, axis=-1)[:, -5:]
         labels = batch["label"]
         c1 += int((top5[:, -1] == labels).sum())
         c5 += int((top5 == labels[:, None]).any(axis=-1).sum())
         n += len(labels)
     dt = time.time() - t0
-    result = {"model": args.model, "top1": round(100 * c1 / max(n, 1), 3),
-              "top5": round(100 * c5 / max(n, 1), 3), "img_size": args.input_size,
+    top1 = 100 * c1 / max(n, 1)
+    top5_acc = 100 * c5 / max(n, 1)
+    if real is not None:
+        # real-labels mode replaces the top-k values (moganet_valid.py:286-288)
+        top1, top5_acc = real.accuracy(1), real.accuracy(5)
+    result = {"model": args.model, "top1": round(top1, 3),
+              "top5": round(top5_acc, 3), "img_size": args.input_size,
               "crop_pct": args.crop_pct, "count": n,
               "images_per_sec": round(n / max(dt, 1e-9), 1),
-              "fused": args.fused, "ema": args.ema, "packed": args.packed}
+              "fused": args.fused, "ema": args.ema, "packed": args.packed,
+              "test_pool": test_pool, "real_labels": real is not None}
     print(json.dumps(result))
     if args.results_file:
         path = Path(args.results_file)

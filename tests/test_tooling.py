@@ -154,3 +154,97 @@ def test_compile_cache_populates(tmp_path):
     finally:
         for k, v in saved.items():
             jax.config.update(k, v)
+
+
+def _tiny_val_folder(root, nb_classes=2, per_class=3, size=24):
+    """root/val/class_i/img_j.png with deterministic pixels; returns file basenames
+    in ImageFolder iteration order."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    names = []
+    for c in range(nb_classes):
+        d = root / "val" / f"class_{c}"
+        d.mkdir(parents=True)
+        for j in range(per_class):
+            name = f"img_{c}_{j}.png"
+            Image.fromarray(rng.integers(0, 255, (size, size, 3), np.uint8)).save(
+                d / name)
+            names.append(name)
+    return names
+
+
+def test_validate_real_labels(tmp_path):
+    """Real-labels mode: accuracy comes from the reassessed sets, not the folder
+    labels — all-classes sets score 100, impossible sets score 0, and files with
+    empty sets are skipped (timm RealLabelsImagenet semantics,
+    /root/reference/moganet_valid.py:215-216,286-288)."""
+    from recnext_tpu.validate import main as validate_main
+
+    names = _tiny_val_folder(tmp_path)
+    common = ["--model", "recnext_m0", "--data-set", "FOLDER", "--data-path",
+              str(tmp_path), "--input-size", "32", "--batch-size", "4"]
+
+    # every file admits every class -> 100/100, regardless of predictions
+    allow_all = {n: [0, 1] for n in names}
+    (tmp_path / "real_all.json").write_text(json.dumps(allow_all))
+    res = validate_main(common + ["--real-labels", str(tmp_path / "real_all.json")])
+    assert res["real_labels"] is True
+    assert res["top1"] == 100.0 and res["top5"] == 100.0
+
+    # impossible labels -> 0; empty sets are skipped, not counted wrong
+    half = {n: ([999] if i < 3 else []) for i, n in enumerate(names)}
+    (tmp_path / "real_none.json").write_text(json.dumps(half))
+    res = validate_main(common + ["--real-labels", str(tmp_path / "real_none.json")])
+    assert res["top1"] == 0.0 and res["top5"] == 0.0
+
+
+def test_real_labels_list_format():
+    """The original real.json list format keys by ImageNet val-order filenames."""
+    from recnext_tpu.validate import RealLabels
+
+    fnames = [f"ILSVRC2012_val_{i + 1:08d}.JPEG" for i in range(3)]
+    rl_json = [[5], [], [1, 7]]
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(rl_json, f)
+        path = f.name
+    rl = RealLabels(fnames, path)
+    logits = np.zeros((3, 10), np.float32)
+    logits[0, 5] = 1.0   # top-1 hit
+    logits[1, 0] = 1.0   # empty set: skipped
+    logits[2, 3] = 1.0   # miss at top-1 ...
+    logits[2, 7] = 0.5   # ... but 7 is in top-5
+    rl.add_results(logits)
+    assert rl.accuracy(1) == 50.0
+    assert rl.accuracy(5) == 100.0
+
+
+def test_validate_valid_labels(tmp_path):
+    """--valid-labels with the identity subset must reproduce the unfiltered
+    result (plumbing check; semantics are a column-subset before scoring)."""
+    from recnext_tpu.validate import main as validate_main
+
+    _tiny_val_folder(tmp_path)
+    (tmp_path / "valid.txt").write_text("0\n1\n")
+    common = ["--model", "recnext_m0", "--data-set", "FOLDER", "--data-path",
+              str(tmp_path), "--input-size", "32", "--batch-size", "4"]
+    plain = validate_main(common)
+    filt = validate_main(common + ["--valid-labels", str(tmp_path / "valid.txt")])
+    assert filt["top1"] == plain["top1"] and filt["top5"] == plain["top5"]
+
+
+def test_validate_test_pool(tmp_path):
+    """--test-pool activates above the native 224 resolution (crop-pct forced to
+    1.0) and stays inactive at or below it (timm apply_test_time_pool gate)."""
+    from recnext_tpu.validate import main as validate_main
+
+    common = ["--model", "recnext_m0", "--data-set", "FAKE", "--batch-size", "2",
+              "--max-batches", "1", "--fused", "--test-pool"]
+    res = validate_main(common + ["--input-size", "256"])
+    assert res["test_pool"] is True
+    assert res["crop_pct"] == 1.0
+    assert res["count"] == 2
+    res = validate_main(common + ["--input-size", "64"])
+    assert res["test_pool"] is False
