@@ -9,10 +9,11 @@ invalid boxes (all -1) is used instead of dynamic shapes.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -27,11 +28,18 @@ def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-9)
 
 
-def encode_boxes(anchors: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
-    """DeltaXYWH encoding: (dx, dy, dw, dh) of gt relative to anchors. Degenerate
-    anchors (zero extent, e.g. fully-clipped proposals) are clamped so the encoding
-    stays finite — callers mask such rows out of the loss, but an inf here would
-    still poison gradients through jnp.where."""
+def encode_boxes(anchors: jnp.ndarray, gt: jnp.ndarray,
+                 means: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
+                 stds: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0),
+                 ) -> jnp.ndarray:
+    """DeltaXYWH encoding (mmdet bbox2delta semantics,
+    mmdet/core/bbox/coder/delta_xywh_bbox_coder.py): (dx, dy, dw, dh) of gt
+    relative to anchors, normalized by target means/stds. The reference's Mask
+    R-CNN config uses stds (0.1, 0.1, 0.2, 0.2) for the RCNN head and all-1 for
+    the RPN (/root/reference/detection/configs/_base_/models/mask_rcnn_r50_fpn.py).
+    Degenerate anchors (zero extent, e.g. fully-clipped proposals) are clamped so
+    the encoding stays finite — callers mask such rows out of the loss, but an inf
+    here would still poison gradients through jnp.where."""
     aw = jnp.maximum(anchors[:, 2] - anchors[:, 0], 1e-3)
     ah = jnp.maximum(anchors[:, 3] - anchors[:, 1], 1e-3)
     ax = anchors[:, 0] + aw / 2
@@ -40,21 +48,37 @@ def encode_boxes(anchors: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     gh = jnp.maximum(gt[:, 3] - gt[:, 1], 1e-6)
     gx = gt[:, 0] + gw / 2
     gy = gt[:, 1] + gh / 2
-    return jnp.stack([(gx - ax) / aw, (gy - ay) / ah,
-                      jnp.log(gw / aw), jnp.log(gh / ah)], axis=-1)
+    deltas = jnp.stack([(gx - ax) / aw, (gy - ay) / ah,
+                        jnp.log(gw / aw), jnp.log(gh / ah)], axis=-1)
+    return (deltas - jnp.asarray(means)) / jnp.asarray(stds)
 
 
 def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray,
-                 max_wh: float = 4096.0) -> jnp.ndarray:
+                 means: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
+                 stds: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0),
+                 wh_ratio_clip: float = 16 / 1000,
+                 max_shape: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+    """mmdet delta2bbox semantics: denormalize by means/stds, clamp dw/dh to
+    +-|log(wh_ratio_clip)| (default 16/1000 -> +-4.135), exponentiate onto the
+    anchor size, and optionally clamp the result to [0, W] x [0, H] when
+    max_shape=(H, W) is given."""
+    d = deltas * jnp.asarray(stds) + jnp.asarray(means)
     aw = anchors[:, 2] - anchors[:, 0]
     ah = anchors[:, 3] - anchors[:, 1]
     ax = anchors[:, 0] + aw / 2
     ay = anchors[:, 1] + ah / 2
-    cx = deltas[:, 0] * aw + ax
-    cy = deltas[:, 1] * ah + ay
-    w = jnp.exp(jnp.clip(deltas[:, 2], -10, jnp.log(max_wh))) * aw
-    h = jnp.exp(jnp.clip(deltas[:, 3], -10, jnp.log(max_wh))) * ah
-    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+    cx = d[:, 0] * aw + ax
+    cy = d[:, 1] * ah + ay
+    max_ratio = abs(float(np.log(wh_ratio_clip)))
+    w = jnp.exp(jnp.clip(d[:, 2], -max_ratio, max_ratio)) * aw
+    h = jnp.exp(jnp.clip(d[:, 3], -max_ratio, max_ratio)) * ah
+    out = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+    if max_shape is not None:
+        hh, ww = max_shape
+        out = jnp.stack([jnp.clip(out[:, 0], 0, ww), jnp.clip(out[:, 1], 0, hh),
+                         jnp.clip(out[:, 2], 0, ww), jnp.clip(out[:, 3], 0, hh)],
+                        axis=-1)
+    return out
 
 
 def assign_anchors(

@@ -236,8 +236,14 @@ def retinanet_postprocess(cls_scores: jnp.ndarray, bbox_preds: jnp.ndarray,
 def generate_anchors(feat_shapes: Sequence[Tuple[int, int]],
                      strides: Sequence[int] = (8, 16, 32, 64, 128),
                      scales=(1.0, 2 ** (1 / 3), 2 ** (2 / 3)),
-                     ratios=(0.5, 1.0, 2.0), base_size: int = 4) -> np.ndarray:
-    """(sum_l H_l*W_l*A, 4) xyxy anchors, RetinaNet convention (octave base 4x stride)."""
+                     ratios=(0.5, 1.0, 2.0), base_size: int = 4,
+                     center_offset: float = 0.5) -> np.ndarray:
+    """(sum_l H_l*W_l*A, 4) xyxy anchors, RetinaNet convention (octave base 4x
+    stride; ratio = h/w, sizes w = base*scale/sqrt(r), h = base*scale*sqrt(r) as in
+    mmdet AnchorGenerator.gen_single_level_base_anchors). center_offset places
+    anchor centers at (x + offset) * stride: mmdet uses 0.0 (top-left corner of the
+    cell, its backward-compat default), detectron2 and this framework default to
+    0.5 (cell centers). Pass 0.0 for exact mmdet grid parity."""
     all_anchors = []
     for (h, w), stride in zip(feat_shapes, strides):
         base = base_size * stride
@@ -247,8 +253,8 @@ def generate_anchors(feat_shapes: Sequence[Tuple[int, int]],
                 ws.append(base * s * np.sqrt(1.0 / r))
                 hs.append(base * s * np.sqrt(r))
         ws, hs = np.asarray(ws), np.asarray(hs)
-        cx = (np.arange(w) + 0.5) * stride
-        cy = (np.arange(h) + 0.5) * stride
+        cx = (np.arange(w) + center_offset) * stride
+        cy = (np.arange(h) + center_offset) * stride
         cy, cx = np.meshgrid(cy, cx, indexing="ij")
         centers = np.stack([cx, cy], axis=-1).reshape(-1, 1, 2)
         sizes = np.stack([ws, hs], axis=-1).reshape(1, -1, 2)

@@ -24,6 +24,11 @@ from recnext_tpu.tasks.detection import DetectionBackbone, generate_anchors, smo
 from recnext_tpu.tasks.roi import generate_proposals, multilevel_roi_align
 from recnext_tpu.train.losses import cross_entropy
 
+# mmdet Shared2FCBBoxHead delta coder: target_stds=[0.1, 0.1, 0.2, 0.2]
+# (/root/reference/detection/configs/_base_/models/mask_rcnn_r50_fpn.py); the RPN
+# coder keeps all-1 stds. Encode and decode must use the same value.
+RCNN_DELTA_STDS = (0.1, 0.1, 0.2, 0.2)
+
 
 class RPNHead(nn.Module):
     """Shared 3x3 conv -> (objectness, box deltas) per level; 3 anchors/location."""
@@ -209,12 +214,8 @@ class MaskRCNN(nn.Module):
             # per-class NMS over the refined boxes (mmdet multiclass_nms)
             probs = jax.nn.softmax(c.astype(jnp.float32), axis=-1)[:, :-1]
             probs = probs * pv[:, None]
-            boxes = decode_boxes(props, rg.astype(jnp.float32))
-            boxes = jnp.stack([
-                jnp.clip(boxes[:, 0], 0, img_hw[1]),
-                jnp.clip(boxes[:, 1], 0, img_hw[0]),
-                jnp.clip(boxes[:, 2], 0, img_hw[1]),
-                jnp.clip(boxes[:, 3], 0, img_hw[0])], axis=-1)
+            boxes = decode_boxes(props, rg.astype(jnp.float32),
+                                 stds=RCNN_DELTA_STDS, max_shape=img_hw)
             return multiclass_nms(boxes, probs, score_thresh=score_thresh,
                                   iou_thresh=iou_thresh, max_out=max_det)
 
@@ -312,7 +313,7 @@ def mask_rcnn_loss(outputs, batch, *, num_classes: int,
         ce_pos = jnp.sum(jnp.where(pos, ce, 0.0)) / jnp.maximum(jnp.sum(pos), 1)
         ce_neg = jnp.sum(jnp.where(neg, ce, 0.0)) / jnp.maximum(jnp.sum(neg), 1)
         ce = 0.25 * ce_pos + 0.75 * ce_neg
-        tgt = encode_boxes(props, gtb[best])
+        tgt = encode_boxes(props, gtb[best], stds=RCNN_DELTA_STDS)
         tgt = jnp.where(pos[:, None], tgt, 0.0)
         reg_l = smooth_l1(reg, tgt, pos)
         return ce + reg_l
