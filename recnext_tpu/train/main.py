@@ -107,6 +107,10 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-every-steps", type=int, default=0,
                    help="mid-epoch recovery checkpoint interval "
                         "(moganet save_recovery counterpart); 0 = off")
+    p.add_argument("--export-teacher", default="",
+                   help="after training, save final model variables (EMA if "
+                        "enabled) via orbax StandardCheckpointer to this dir — "
+                        "loadable as --teacher-ckpt")
     p.add_argument("--wandb", action="store_true",
                    help="log to wandb if installed (reference main.py:192-200)")
     # multi-host (jax.distributed; the torchrun/SLURM init of utils.py:202-224)
@@ -201,8 +205,18 @@ def main(argv=None):
                               args.input_size, args.fake_classes)
 
     distill = args.distillation_type != "none"
-    model = create_model(args.model, num_classes=nb_classes,
-                         distillation=distill, dtype=dtype)
+    if args.model.startswith("regnet"):
+        # train the teacher family directly (reference teacher = timm regnety_160,
+        # main.py:336-352); used to pre-train a FAKE-data teacher where the
+        # published ckpt is unreachable (zero egress, PARITY.md)
+        if distill:
+            raise SystemExit("regnet students have no distillation head")
+        from recnext_tpu.models.regnet import create_regnet
+
+        model = create_regnet(args.model, num_classes=nb_classes, dtype=dtype)
+    else:
+        model = create_model(args.model, num_classes=nb_classes,
+                             distillation=distill, dtype=dtype)
     x0 = jnp.zeros((1, args.input_size, args.input_size, 3), dtype)
     # jit the init: un-jitted init over the remote-TPU tunnel is thousands of ~2ms
     # dispatches (minutes); one compiled program instead (PERF.md)
@@ -281,6 +295,15 @@ def main(argv=None):
                            out_shardings=(st_sh, r_sh), donate_argnums=(0,))
     jitted_eval = jax.jit(eval_step, in_shardings=(st_sh, {"image": b_sh, "label": b_sh}),
                           out_shardings=r_sh)
+    # per-epoch EMA-vs-raw tracking (timm --model-ema-eval counterpart): a second
+    # compiled eval over the EMA weights, logged as ema_test_acc* so long runs
+    # show the EMA>=raw crossover in the committed JSONL
+    jitted_eval_ema = None
+    if not args.no_model_ema and not args.eval_ema and not args.eval:
+        jitted_eval_ema = jax.jit(
+            make_eval_step(model, ema=True),
+            in_shardings=(st_sh, {"image": b_sh, "label": b_sh}),
+            out_shardings=r_sh)
 
     mgr = ocp.CheckpointManager(
         out_dir.resolve() / "ckpt",
@@ -306,9 +329,10 @@ def main(argv=None):
     n_proc = jax.process_count()
     local_devices = max(n_dev // n_proc, 1)
 
-    def run_eval():
+    def run_eval(eval_fn=None):
         """Eval split strided by process; correct/loss/count are summed INSIDE the
         jitted step (global psum), so every process reads identical totals."""
+        eval_fn = eval_fn or jitted_eval
         tot = {"correct1": 0, "correct5": 0, "count": 0, "loss_sum": 0.0}
         loader = eval_loader(val_ds, EvalTransform(args.input_size),
                              batch_size=max(args.batch_size // n_proc, 1),
@@ -324,7 +348,7 @@ def main(argv=None):
                     "image": np.concatenate([batch["image"], pad_img]),
                     "label": np.concatenate([batch["label"], np.full((pad,), -1, np.int32)]),
                 }
-            m = jitted_eval(state, put_batch(batch, b_sh))
+            m = eval_fn(state, put_batch(batch, b_sh))
             tot["correct1"] += int(m["correct1"])
             tot["correct5"] += int(m["correct5"])
             tot["loss_sum"] += float(m["loss_sum"])
@@ -397,6 +421,10 @@ def main(argv=None):
             raise SystemExit(f"Loss is {train_loss}, stopping training")
 
         acc1, acc5, test_loss = run_eval()
+        ema_stats = {}
+        if jitted_eval_ema is not None:
+            ema_acc1, ema_acc5, _ = run_eval(jitted_eval_ema)
+            ema_stats = {"ema_test_acc1": ema_acc1, "ema_test_acc5": ema_acc5}
         max_acc = max(max_acc, acc1)
         lr_now = float(sched(int(np.asarray(jax.device_get(state.step)))))
         # per-epoch keys match the reference's committed logs exactly
@@ -406,7 +434,8 @@ def main(argv=None):
                  "test_loss": round(test_loss, 6), "test_acc1": acc1,
                  "test_acc5": acc5, "epoch": epoch, "n_parameters": n_parameters,
                  "epoch_time_s": round(time.time() - t0, 1),
-                 "images_per_sec": round(seen / max(time.time() - t0, 1e-9), 1)}
+                 "images_per_sec": round(seen / max(time.time() - t0, 1e-9), 1),
+                 **ema_stats}
         log(json.dumps(stats))
         if wandb_run is not None:
             wandb_run.log(stats, step=epoch)
@@ -424,6 +453,14 @@ def main(argv=None):
                  metrics={"acc1": acc1})
         mgr.wait_until_finished()
     log(f"max accuracy: {max_acc:.2f}%")
+    if args.export_teacher:
+        tdir = Path(args.export_teacher).resolve()
+        use_ema = not args.no_model_ema
+        tvars = jax.device_get(state.variables(ema=use_ema))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(tdir, tvars)
+        ckptr.wait_until_finished()
+        log(f"exported {'EMA ' if use_ema else ''}teacher variables to {tdir}")
     return {"max_acc": max_acc, "state": state}
 
 
