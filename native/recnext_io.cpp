@@ -149,10 +149,14 @@ Axis precompute_axis(int in_size, float c0, float crop_len, int out, int filter)
 // Fused: crop rectangle (cx, cy, cw, ch — float source coords, so callers can
 // express PIL resize-then-crop geometry exactly) from an RGB8 image, resample to
 // (size x size) with the PIL-convention antialiased filter, optional horizontal
-// flip, normalize to (x/255 - mean)/std, write float32 HWC.
+// flip, then either normalize to (x/255 - mean)/std into float32 HWC (`dst`),
+// or — when `dst8` is non-null — round to uint8 HWC the way PIL's resample
+// output stage does, for callers that run further PIL-side augmentation
+// (RandAugment) on the cropped image before normalizing.
 void crop_resize_normalize(const uint8_t* img, int w, int h, float cx, float cy,
                            float cw, float ch, int size, int flip, int filter,
-                           const float* mean, const float* stdv, float* dst) {
+                           const float* mean, const float* stdv, float* dst,
+                           uint8_t* dst8 = nullptr) {
     const Axis axx = precompute_axis(w, cx, cw, size, filter);
     const Axis axy = precompute_axis(h, cy, ch, size, filter);
     // vertical extent actually needed for the horizontal pass
@@ -200,10 +204,19 @@ void crop_resize_normalize(const uint8_t* img, int w, int h, float cx, float cy,
                 acc[1] += kw[i] * p[1];
                 acc[2] += kw[i] * p[2];
             }
-            float* o = dst + (static_cast<size_t>(oy) * size + oxx) * 3;
-            for (int c = 0; c < 3; ++c) {
-                const float v = std::max(0.0f, std::min(acc[c], 255.0f));
-                o[c] = (v / 255.0f - mean[c]) / stdv[c];
+            if (dst8 != nullptr) {
+                uint8_t* o = dst8 + (static_cast<size_t>(oy) * size + oxx) * 3;
+                for (int c = 0; c < 3; ++c) {
+                    const float v = std::max(0.0f, std::min(acc[c], 255.0f));
+                    // PIL's output stage: round-half-up to uint8
+                    o[c] = static_cast<uint8_t>(v + 0.5f);
+                }
+            } else {
+                float* o = dst + (static_cast<size_t>(oy) * size + oxx) * 3;
+                for (int c = 0; c < 3; ++c) {
+                    const float v = std::max(0.0f, std::min(acc[c], 255.0f));
+                    o[c] = (v / 255.0f - mean[c]) / stdv[c];
+                }
             }
         }
     }
@@ -225,18 +238,20 @@ long rn_decode_jpeg(const uint8_t* data, long len, int min_side, uint8_t* out,
     return need;
 }
 
-// Batch: decode n JPEGs (concatenated in `data` with offsets/lengths), apply the
-// per-sample crop (cx, cy, cw, ch, flip) and write normalized float32 NHWC into
-// `dst` (n * size * size * 3). crops: 5 floats per sample (float source coords —
-// exact PIL resize-then-crop geometry; flip != 0 flips). filter: 0 bilinear,
-// 1 bicubic (both PIL-convention antialiased). Returns #failures.
-int rn_batch_decode_crop(const uint8_t* data, const long* offsets, const long* lengths,
-                         int n, const float* crops, int size, int filter,
-                         const float* mean, const float* stdv, float* dst,
-                         int n_threads) {
+// Shared batch driver: decode n JPEGs (concatenated in `data` with
+// offsets/lengths), apply the per-sample crop (cx, cy, cw, ch, flip) and write
+// either normalized float32 NHWC (`dstf`) or PIL-rounded uint8 NHWC (`dst8`).
+// crops: 5 floats per sample (float source coords — exact PIL
+// resize-then-crop geometry; flip != 0 flips). filter: 0 bilinear, 1 bicubic
+// (both PIL-convention antialiased). Returns #failures.
+static int batch_impl(const uint8_t* data, const long* offsets, const long* lengths,
+                      int n, const float* crops, int size, int filter,
+                      const float* mean, const float* stdv, float* dstf,
+                      uint8_t* dst8, int n_threads) {
     std::atomic<int> fails{0};
     std::atomic<int> next{0};
     n_threads = std::max(1, n_threads);
+    const size_t px = static_cast<size_t>(size) * size * 3;
     auto worker = [&]() {
         std::vector<uint8_t> buf;
         int w = 0, h = 0;
@@ -246,8 +261,11 @@ int rn_batch_decode_crop(const uint8_t* data, const long* offsets, const long* l
             if (decode_jpeg_rgb(data + offsets[i], static_cast<size_t>(lengths[i]),
                                 /*min_side=*/0, buf, &w, &h)) {
                 fails.fetch_add(1);
-                std::memset(dst + static_cast<size_t>(i) * size * size * 3, 0,
-                            sizeof(float) * size * size * 3);
+                if (dst8 != nullptr)
+                    std::memset(dst8 + static_cast<size_t>(i) * px, 0, px);
+                else
+                    std::memset(dstf + static_cast<size_t>(i) * px, 0,
+                                sizeof(float) * px);
                 continue;
             }
             const float* c = crops + i * 5;
@@ -264,7 +282,8 @@ int rn_batch_decode_crop(const uint8_t* data, const long* offsets, const long* l
             ch = std::min(ch, h - cy);
             crop_resize_normalize(buf.data(), w, h, cx, cy, cw, ch, size, flip, filter,
                                   mean, stdv,
-                                  dst + static_cast<size_t>(i) * size * size * 3);
+                                  dstf ? dstf + static_cast<size_t>(i) * px : nullptr,
+                                  dst8 ? dst8 + static_cast<size_t>(i) * px : nullptr);
         }
     };
     std::vector<std::thread> threads;
@@ -273,6 +292,25 @@ int rn_batch_decode_crop(const uint8_t* data, const long* offsets, const long* l
     return fails.load();
 }
 
-int rn_version() { return 2; }
+int rn_batch_decode_crop(const uint8_t* data, const long* offsets, const long* lengths,
+                         int n, const float* crops, int size, int filter,
+                         const float* mean, const float* stdv, float* dst,
+                         int n_threads) {
+    return batch_impl(data, offsets, lengths, n, crops, size, filter, mean, stdv,
+                      dst, nullptr, n_threads);
+}
+
+// uint8 variant for the training path: decode + RandomResizedCrop + flip fused
+// natively, PIL-rounded uint8 out; RandAugment/jitter/normalize stay host-side
+// on the already-small (size x size) crop (/root/reference/main.py:242-259's
+// worker stack does all of this in PIL at full image size).
+int rn_batch_decode_crop_u8(const uint8_t* data, const long* offsets,
+                            const long* lengths, int n, const float* crops,
+                            int size, int filter, uint8_t* dst, int n_threads) {
+    return batch_impl(data, offsets, lengths, n, crops, size, filter, nullptr,
+                      nullptr, nullptr, dst, n_threads);
+}
+
+int rn_version() { return 3; }
 
 }  // extern "C"

@@ -105,17 +105,79 @@ def train_loader(
     prefetch: int = 2,
     aug_splits: int = 0,
     clean_transform=None,
+    native: bool = False,
 ):
     if repeated_aug:
         indices = ra_sampler_indices(len(dataset), epoch, rank, num_replicas)
     else:
         g = np.random.default_rng((seed, epoch))
         indices = g.permutation(len(dataset))[rank::num_replicas]
+    if native and aug_splits <= 1:
+        from recnext_tpu.data import native as native_io
+
+        if native_io.available() and hasattr(dataset, "samples"):
+            factory = lambda: _native_train_batches(dataset, transform, indices,
+                                                    batch_size, seed=(seed, epoch))
+            return Prefetcher(factory, depth=prefetch)
     factory = lambda: _batches(dataset, transform, indices, batch_size,
                                seed=(seed, epoch), drop_last=True,
                                aug_splits=aug_splits,
                                clean_transform=clean_transform)
     return Prefetcher(factory, depth=prefetch)
+
+
+def _native_train_batches(dataset, transform, indices, batch_size, seed):
+    """Training fast path (the reference feeds GPUs with 10 torch-DataLoader PIL
+    workers/GPU, /root/reference/main.py:242-259; this host has one core):
+    decode + RandomResizedCrop + flip run fused in C++ threads
+    (native.batch_decode_crop*), with the SAME per-sample rng stream as _batches
+    — rrc_rect and the flip draw consume the draws random_resized_crop would —
+    so native and PIL paths yield identical geometry. With a full TrainTransform
+    the C++ stage emits PIL-rounded uint8 crops and transform.post_crop runs the
+    remaining augs on the small (size x size) image; with SimpleTrainTransform
+    (post_crop None) normalization fuses natively too."""
+    import io as _io
+
+    from PIL import Image
+
+    from recnext_tpu.data import native as native_io
+    from recnext_tpu.data.transforms import rrc_rect
+
+    post = getattr(transform, "post_crop", None)
+    size = transform.size
+    scale = getattr(transform, "rrc_scale", (0.08, 1.0))
+    n = len(indices)
+    end = n - (n % batch_size)
+    for start in range(0, end, batch_size):
+        idx = indices[start : start + batch_size]
+        blobs, labels, crops, rngs = [], [], [], []
+        for j, i in enumerate(idx):
+            path, label = dataset.samples[int(i)]
+            with open(path, "rb") as f:
+                blob = f.read()
+            rng = np.random.default_rng((seed, int(i), start + j))
+            with Image.open(_io.BytesIO(blob)) as im:  # header-only read
+                w, h = im.size
+            x, y, cw, ch = rrc_rect(rng, w, h, scale=scale)
+            flip = 1.0 if rng.random() < 0.5 else 0.0
+            crops.append([x, y, cw, ch, flip])
+            blobs.append(blob)
+            labels.append(label)
+            rngs.append(rng)
+        carr = np.asarray(crops, np.float32)
+        if post is None:
+            out = native_io.batch_decode_crop(blobs, carr, size, n_threads=4)
+        else:
+            u8 = native_io.batch_decode_crop_u8(blobs, carr, size, n_threads=4)
+            out = None if u8 is None else np.stack(
+                [post(r, a) for r, a in zip(rngs, u8)]).astype(np.float32)
+        if out is None:  # corrupt/non-JPEG in batch: PIL per-sample, fresh rngs
+            out = np.stack([
+                transform(np.random.default_rng((seed, int(i), start + j)),
+                          Image.open(_io.BytesIO(b)).convert("RGB"))
+                for (j, i), b in zip(enumerate(idx), blobs)
+            ]).astype(np.float32)
+        yield {"image": out, "label": np.asarray(labels, np.int32)}
 
 
 def eval_loader(

@@ -19,7 +19,7 @@ from recnext_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
 _ROOT = Path(__file__).resolve().parents[2]
 _SRC = _ROOT / "native" / "recnext_io.cpp"
-_ABI_VERSION = 2  # must match rn_version() in recnext_io.cpp
+_ABI_VERSION = 3  # must match rn_version() in recnext_io.cpp
 # ABI-versioned filename: a prebuilt .so from an older ABI can sit in a fresh
 # checkout with mtime >= source; dlopen caches by path in-process so an
 # in-place rebuild cannot take effect — a new name per ABI sidesteps both.
@@ -70,6 +70,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float32), ctypes.c_int, ctypes.c_int,
         np.ctypeslib.ndpointer(np.float32), np.ctypeslib.ndpointer(np.float32),
         np.ctypeslib.ndpointer(np.float32), ctypes.c_int]
+    lib.rn_batch_decode_crop_u8.restype = ctypes.c_int
+    lib.rn_batch_decode_crop_u8.argtypes = [
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float32), ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint8), ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -122,6 +128,32 @@ def batch_decode_crop(
         {"bilinear": 0, "bicubic": 1}[filter],
         IMAGENET_MEAN.astype(np.float32), IMAGENET_STD.astype(np.float32),
         out, n_threads)
+    if fails:
+        return None
+    return out
+
+
+def batch_decode_crop_u8(
+    blobs: Sequence[bytes],
+    crops: np.ndarray,  # (n, 5) float32: cx, cy, cw, ch, flip; cw<=0 -> full image
+    size: int,
+    n_threads: int = 4,
+    filter: str = "bicubic",
+) -> Optional[np.ndarray]:
+    """Training fast path: decode + RandomResizedCrop + flip fused natively,
+    PIL-rounded uint8 NHWC out — the caller runs RandAugment/jitter/normalize on
+    the already-small crop (loader._native_train_batches)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = b"".join(blobs)
+    lengths = np.asarray([len(b) for b in blobs], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths[:-1])]).astype(np.int64)
+    n = len(blobs)
+    out = np.empty((n, size, size, 3), np.uint8)
+    fails = lib.rn_batch_decode_crop_u8(
+        data, offsets, lengths, n, np.ascontiguousarray(crops, np.float32), size,
+        {"bilinear": 0, "bicubic": 1}[filter], out, n_threads)
     if fails:
         return None
     return out

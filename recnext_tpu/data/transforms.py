@@ -31,14 +31,17 @@ def normalize(img: Image.Image | np.ndarray) -> np.ndarray:
     return (arr[..., :3] - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def random_resized_crop(
+def rrc_rect(
     rng: np.random.Generator,
-    img: Image.Image,
-    size: int,
+    w: int,
+    h: int,
     scale: Tuple[float, float] = (0.08, 1.0),
     ratio: Tuple[float, float] = (3 / 4, 4 / 3),
-) -> Image.Image:
-    w, h = img.size
+) -> Tuple[int, int, int, int]:
+    """RandomResizedCrop rectangle (x, y, cw, ch) — the torchvision/timm sampling
+    loop. Single source of truth for the PIL path (random_resized_crop) and the
+    native fused decode+crop path (loader._native_train_batches): same rng, same
+    draw order, same rect."""
     area = w * h
     for _ in range(10):
         target = rng.uniform(*scale) * area
@@ -49,11 +52,22 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             x = int(rng.integers(0, w - cw + 1))
             y = int(rng.integers(0, h - ch + 1))
-            return img.resize((size, size), BICUBIC, box=(x, y, x + cw, y + ch))
+            return x, y, cw, ch
     # fallback: center crop
     s = min(w, h)
-    x, y = (w - s) // 2, (h - s) // 2
-    return img.resize((size, size), BICUBIC, box=(x, y, x + s, y + s))
+    return (w - s) // 2, (h - s) // 2, s, s
+
+
+def random_resized_crop(
+    rng: np.random.Generator,
+    img: Image.Image,
+    size: int,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+) -> Image.Image:
+    w, h = img.size
+    x, y, cw, ch = rrc_rect(rng, w, h, scale, ratio)
+    return img.resize((size, size), BICUBIC, box=(x, y, x + cw, y + ch))
 
 
 def center_crop_rect(w: int, h: int, size: int, crop_pct: float = 224 / 256):
@@ -226,19 +240,24 @@ def three_augment_choice(rng: np.random.Generator, img: Image.Image) -> Image.Im
 
 @dataclasses.dataclass
 class TrainTransform:
-    """One sample: PIL -> augmented normalized HWC float32."""
+    """One sample: PIL -> augmented normalized HWC float32.
+
+    Split as (RRC + flip) -> post_crop(aug chain) so the native loader can fuse
+    the decode + crop + flip in C++ (rrc_scale draws feed rrc_rect with the same
+    rng stream) and hand the small uint8 crop to post_crop."""
 
     size: int = 224
     three_augment: bool = False
     ra_magnitude: float = 9.0
     jitter: float = 0.4
     reprob: float = 0.25
+    rrc_scale: Tuple[float, float] = (0.08, 1.0)
 
-    def __call__(self, rng: np.random.Generator, img: Image.Image) -> np.ndarray:
-        img = img.convert("RGB")
-        img = random_resized_crop(rng, img, self.size)
-        if rng.random() < 0.5:
-            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    def post_crop(self, rng: np.random.Generator, img) -> np.ndarray:
+        """Augment an already-cropped (size x size) image: RandAugment/3A ->
+        jitter -> normalize -> erasing. `img` is a PIL Image or uint8 HWC array."""
+        if not isinstance(img, Image.Image):
+            img = Image.fromarray(img, "RGB")
         if self.three_augment:
             img = three_augment_choice(rng, img)
         else:
@@ -250,16 +269,26 @@ class TrainTransform:
             arr = random_erasing(rng, arr, p=self.reprob)
         return arr.astype(np.float32)
 
+    def __call__(self, rng: np.random.Generator, img: Image.Image) -> np.ndarray:
+        img = img.convert("RGB")
+        img = random_resized_crop(rng, img, self.size, scale=self.rrc_scale)
+        if rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return self.post_crop(rng, img)
+
 
 @dataclasses.dataclass
 class SimpleTrainTransform:
-    """RRC + flip + normalize only — smoke/memorization runs and ablations."""
+    """RRC + flip + normalize only — smoke/memorization runs and ablations.
+    post_crop=None signals the native loader that normalization can fuse in C++."""
 
     size: int = 224
+    rrc_scale: Tuple[float, float] = (0.6, 1.0)
+    post_crop = None
 
     def __call__(self, rng: np.random.Generator, img: Image.Image) -> np.ndarray:
         img = img.convert("RGB")
-        img = random_resized_crop(rng, img, self.size, scale=(0.6, 1.0))
+        img = random_resized_crop(rng, img, self.size, scale=self.rrc_scale)
         if rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return normalize(img).astype(np.float32)

@@ -79,6 +79,10 @@ def parse_args(argv=None):
     # data
     p.add_argument("--data-set", default="IMNET", choices=["IMNET", "CIFAR", "FOLDER", "FAKE"])
     p.add_argument("--data-path", default="")
+    p.add_argument("--native-loader", action="store_true",
+                   help="C++ fused decode+RandomResizedCrop+flip train path and "
+                        "fused bicubic eval path (PIL-parity; ImageFolder only, "
+                        "falls back to PIL when unavailable)")
     p.add_argument("--loader", default="thread", choices=["thread", "grain"],
                    help="input pipeline: in-process thread prefetcher, or grain "
                         "with worker processes (production ImageNet path; no "
@@ -336,7 +340,8 @@ def main(argv=None):
         tot = {"correct1": 0, "correct5": 0, "count": 0, "loss_sum": 0.0}
         loader = eval_loader(val_ds, EvalTransform(args.input_size),
                              batch_size=max(args.batch_size // n_proc, 1),
-                             rank=jax.process_index(), num_replicas=n_proc)
+                             rank=jax.process_index(), num_replicas=n_proc,
+                             native=args.native_loader)
         for i, batch in enumerate(iter(loader)):
             if args.steps_per_epoch and i >= args.steps_per_epoch:
                 break
@@ -393,7 +398,8 @@ def main(argv=None):
                                   repeated_aug=not args.no_repeated_aug,
                                   seed=args.seed, aug_splits=splits,
                                   clean_transform=SimpleTrainTransform(
-                                      args.input_size) if splits > 1 else None)
+                                      args.input_size) if splits > 1 else None,
+                                  native=args.native_loader)
         losses, seen = [], 0
         for i, batch in enumerate(iter(loader)):
             if args.steps_per_epoch and i >= args.steps_per_epoch:

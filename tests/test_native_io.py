@@ -81,6 +81,100 @@ def test_native_eval_loader(tmp_path):
     assert d.max() < 0.02 and d.mean() < 0.005
 
 
+def test_batch_decode_crop_u8_matches_pil_box_resize():
+    """The training-path uint8 stage: fused decode+crop+resample with PIL
+    rounding == PIL's resize(box=...) within 1 LSB (PIL quantizes between the
+    two separable passes; we quantize once at the end)."""
+    rng = np.random.default_rng(3)
+    arr = (rng.random((120, 150, 3)) * 255).astype(np.uint8)
+    blob = _jpeg(arr)
+    src = Image.open(io.BytesIO(blob)).convert("RGB")
+    x, y, cw, ch = 10, 20, 100, 80
+    want = np.asarray(src.resize((64, 64), Image.BICUBIC, box=(x, y, x + cw, y + ch)))
+    got = native.batch_decode_crop_u8(
+        [blob], np.asarray([[x, y, cw, ch, 0]], np.float32), 64)[0]
+    assert got.dtype == np.uint8
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 1 and d.mean() < 0.2
+
+
+def _train_folder(tmp_path, n_per_class=4):
+    from recnext_tpu.data.datasets import ImageFolder
+
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(n_per_class):
+            yy, xx = np.mgrid[0:90, 0:110]
+            arr = np.stack([(xx * 3 + i * 31) % 256, (yy * 2) % 256,
+                            rng.integers(0, 256, (90, 110))], -1).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.jpg", "JPEG", quality=95)
+    return ImageFolder(str(tmp_path / "train"))
+
+
+def test_native_train_loader_simple_matches_pil(tmp_path):
+    """SimpleTrainTransform through the fully-fused native path must reproduce
+    the PIL path: same per-sample rng stream -> same RRC rect + flip, and the
+    fused resample+normalize is PIL-parity (uint8 intermediate quantization
+    only)."""
+    from recnext_tpu.data.loader import train_loader
+    from recnext_tpu.data.transforms import IMAGENET_STD, SimpleTrainTransform
+
+    ds = _train_folder(tmp_path)
+    kw = dict(batch_size=4, epoch=1, seed=5, repeated_aug=True)
+    t = SimpleTrainTransform(48)
+    nat = list(iter(train_loader(ds, t, native=True, **kw)))
+    pil = list(iter(train_loader(ds, t, native=False, **kw)))
+    assert len(nat) == len(pil) and len(nat) > 0
+    for bn, bp in zip(nat, pil):
+        np.testing.assert_array_equal(bn["label"], bp["label"])
+        d = np.abs(bn["image"] - bp["image"]) * IMAGENET_STD[None, None, None]
+        assert d.max() < 0.02 and d.mean() < 0.005
+
+
+def test_native_train_loader_full_aug_matches_pil(tmp_path):
+    """Full TrainTransform: native uint8 crop + post_crop(RandAugment/jitter/
+    erasing) vs the all-PIL path. The rng streams coincide, so geometry, op
+    choices and erasing noise are identical; remaining diffs come from RA
+    thresholding ops (posterize/solarize) crossing a bucket on the <=1-LSB
+    resample difference — rare, so bound the big-diff fraction, not the max."""
+    from recnext_tpu.data.loader import train_loader
+    from recnext_tpu.data.transforms import IMAGENET_STD, TrainTransform
+
+    ds = _train_folder(tmp_path)
+    kw = dict(batch_size=4, epoch=0, seed=9, repeated_aug=True)
+    t = TrainTransform(48)
+    nat = list(iter(train_loader(ds, t, native=True, **kw)))
+    pil = list(iter(train_loader(ds, t, native=False, **kw)))
+    assert len(nat) == len(pil) and len(nat) > 0
+    for bn, bp in zip(nat, pil):
+        np.testing.assert_array_equal(bn["label"], bp["label"])
+        d = np.abs(bn["image"] - bp["image"]) * IMAGENET_STD[None, None, None]
+        assert d.mean() < 0.01
+        assert (d > 0.1).mean() < 0.02
+
+
+def test_native_train_loader_falls_back_for_non_jpeg(tmp_path):
+    """A PNG in the folder fails native decode; the batch falls back to the PIL
+    path transparently (fresh rng streams -> identical to the pure-PIL batch)."""
+    from recnext_tpu.data.loader import train_loader
+    from recnext_tpu.data.transforms import SimpleTrainTransform
+
+    ds = _train_folder(tmp_path, n_per_class=2)
+    png = tmp_path / "train" / "a" / "z.png"
+    Image.fromarray(np.zeros((60, 70, 3), np.uint8)).save(png, "PNG")
+    ds2 = type(ds)(str(tmp_path / "train"))
+    kw = dict(batch_size=5, epoch=0, seed=1, repeated_aug=False)
+    t = SimpleTrainTransform(32)
+    nat = list(iter(train_loader(ds2, t, native=True, **kw)))
+    pil = list(iter(train_loader(ds2, t, native=False, **kw)))
+    assert len(nat) == len(pil) and len(nat) > 0
+    for bn, bp in zip(nat, pil):
+        np.testing.assert_array_equal(bn["label"], bp["label"])
+        np.testing.assert_allclose(bn["image"], bp["image"], atol=0.12)
+
+
 def test_native_bicubic_matches_pil_eval_transform():
     """Direct parity check on arbitrary sizes: native fused crop-resample ==
     EvalTransform (PIL resize-bicubic + center crop) within PIL's uint8
