@@ -257,6 +257,11 @@ def main(argv=None):
                                     weights_only=False)
                 tvars = (regnety_torch_to_flax(tstate) if is_regnet
                          else torch_to_flax(tstate))
+            elif args.teacher_ckpt.endswith(".msgpack"):
+                from flax import serialization
+
+                with open(args.teacher_ckpt, "rb") as f:
+                    tvars = serialization.msgpack_restore(f.read())
             elif args.teacher_ckpt:
                 tvars = ocp.StandardCheckpointer().restore(args.teacher_ckpt)
             else:
@@ -463,10 +468,18 @@ def main(argv=None):
         tdir = Path(args.export_teacher).resolve()
         use_ema = not args.no_model_ema
         tvars = jax.device_get(state.variables(ema=use_ema))
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(tdir, tvars)
-        ckptr.wait_until_finished()
-        log(f"exported {'EMA ' if use_ema else ''}teacher variables to {tdir}")
+        try:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(tdir, tvars)
+            ckptr.wait_until_finished()
+            log(f"exported {'EMA ' if use_ema else ''}teacher variables to {tdir}")
+        except Exception as e:  # orbax/tensorstore can fail on exotic filesystems
+            from flax import serialization
+
+            mp = tdir.with_suffix(".msgpack")
+            mp.parent.mkdir(parents=True, exist_ok=True)
+            mp.write_bytes(serialization.msgpack_serialize(tvars))
+            log(f"orbax export failed ({e}); wrote msgpack fallback to {mp}")
     return {"max_acc": max_acc, "state": state}
 
 

@@ -182,6 +182,65 @@ def test_full_m0_parity_at_224():
     np.testing.assert_allclose(y_jf, y_tf, atol=5e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["recnext_m5", "recnext_a5",
+                                  "recnext_b_share_channel"])
+def test_full_flagship_parity_at_224(name):
+    """±0.1% chain, architecture-scale link for every family's flagship: the FULL
+    config at 224² (the published-checkpoint eval setting, fuse_eval.py:33-55)
+    golden vs the reference source — unfused, published-fused import, and (m/a)
+    the lane-packed executor. Covers the configs the reduced-config tests miss:
+    m5's depth-(7,7,35,2), a5's mlp_ratio 1.875 (recattn.py:378-420), b_share's
+    share-stage 3 (recattn_share_channel.py:461-480)."""
+    from recnext_tpu.convert import torch_fused_to_flax
+    from recnext_tpu.models.registry import get_config
+
+    cfg = get_config(name, num_classes=1000)
+    torch.manual_seed(11)
+    if cfg.share_channel:
+        mod = load_ref_module("lsnet/model/recattn_share_channel.py",
+                              "ref_recnext_lsc")
+        tm = mod.RecNext(embed_dim=cfg.embed_dim, depth=cfg.depth,
+                         mlp_ratios=cfg.mlp_ratio, split_rates=cfg.split_rates,
+                         num_classes=cfg.num_classes).eval()
+    else:
+        tm = _torch_model(cfg.family, cfg).eval()
+    _randomize_bn_stats(tm, seed=11)
+
+    x_t = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        y_t = tm(x_t).numpy()
+
+    variables = torch_to_flax(tm.state_dict())
+    fm = RecNext(cfg=cfg)
+    y_j = np.asarray(jax.jit(
+        lambda v, x: fm.apply(v, x, training=False))(variables,
+                                                     jnp.asarray(to_nhwc(x_t))))
+    # deeper stacks (35-block stage 3) accumulate more fp32 reassociation noise
+    # than m0; bound stays far inside the ±0.1%-top1 envelope
+    np.testing.assert_allclose(y_j, y_t, atol=2e-3, rtol=1e-4)
+
+    tm.fuse()
+    fused_vars = torch_fused_to_flax(tm.state_dict(), family=cfg.family)
+    with torch.no_grad():
+        y_tf = tm(x_t).numpy()
+    fmf = RecNext(cfg=cfg, fused=True)
+    y_jf = np.asarray(jax.jit(
+        lambda v, x: fmf.apply(v, x, training=False))(fused_vars,
+                                                      jnp.asarray(to_nhwc(x_t))))
+    np.testing.assert_allclose(y_jf, y_tf, atol=2e-3, rtol=1e-4)
+
+    if cfg.family in ("m", "a"):
+        from recnext_tpu.models.packed_infer import packed_apply
+
+        y_p = np.asarray(jax.jit(
+            lambda v, x: packed_apply(v, cfg, x))(fused_vars,
+                                                  jnp.asarray(to_nhwc(x_t))))
+        # packed executor invariant vs the fused flax model (same bound family
+        # as tests/test_packed_infer.py, scaled for the deeper stack)
+        np.testing.assert_allclose(y_p, y_jf, atol=5e-4, rtol=2e-5)
+
+
 def test_feature_pyramid_shapes():
     cfg = SMALL["m"]
     fm = RecNext(cfg=cfg)
