@@ -95,6 +95,52 @@ def bench_dwconv(batch=256, dtype=jnp.bfloat16):
                       flush=True)
 
 
+def bench_stage2_packed(batch=256, dtype=jnp.bfloat16):
+    """Round-3 item-1 decision measurement: the stage-2 RecConv formulations at
+    the LANE-PACKED layout (m1 stage 2, g=2: (B/2, 14, 14, 384) — exact 3x128
+    alignment) vs the unpacked shape. Candidates: XLA rec_conv2d (shipping),
+    the fused Pallas pyramid kernel (ops/pallas/recconv.py, round-2 loser at
+    192 lanes by relayout tax), and MXU-einsum Winograd F(2,5)
+    (ops/winograd.py, round-2 loser by transform-contraction utilization)."""
+    import functools as ft
+
+    from recnext_tpu.ops.conv import depthwise_conv2d
+    from recnext_tpu.ops.pallas.recconv import pallas_rec_conv2d
+    from recnext_tpu.ops.recconv import rec_conv2d
+    from recnext_tpu.ops.winograd import dw_conv_winograd
+
+    print("== stage-2 RecConv formulations, packed vs unpacked ==", flush=True)
+    for (b, c, tag) in [(batch, 192, "unpacked g=1"),
+                        (batch // 2, 384, "packed   g=2")]:
+        x = jnp.ones((b, 14, 14, c), dtype)
+        dw = jnp.ones((5, 5, 1, c), dtype)
+        cws = tuple(jnp.ones((5, 5, 1, c), dtype) for _ in range(3))
+
+        f = jax.jit(ft.partial(rec_conv2d, level=2, mode="bilinear",
+                               upsample="matmul"))
+        ms = timeit(f, x, dw, cws)
+        print(f"  {tag} (b={b},c={c}) XLA rec_conv2d: {ms:.3f} ms", flush=True)
+
+        for bn in (4, 8, 16):
+            try:
+                f = ft.partial(pallas_rec_conv2d, level=2, block_n=bn)
+                ms = timeit(f, x, dw, cws)
+                print(f"  {tag} pallas fused (block_n={bn}): {ms:.3f} ms",
+                      flush=True)
+            except Exception as e:
+                print(f"  {tag} pallas fused (block_n={bn}): FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+        # single dw5x5 stride-1: direct vs MXU-einsum Winograd at this layout
+        f = jax.jit(lambda x, w: depthwise_conv2d(x, w, stride=1, padding=2))
+        ms = timeit(f, x, dw)
+        print(f"  {tag} single dw5x5 direct: {ms:.3f} ms", flush=True)
+        for m, name in [(2, "F(2,5)"), (4, "F(4,5)")]:
+            f = jax.jit(ft.partial(dw_conv_winograd, m=m))
+            ms = timeit(f, x, dw)
+            print(f"  {tag} single dw5x5 winograd {name}: {ms:.3f} ms", flush=True)
+
+
 def bench_attention(batch=256, dtype=jnp.bfloat16):
     from recnext_tpu.ops.attention import linear_attention_kv_first, linear_attention_qk_first
     from recnext_tpu.ops.pallas.linear_attention import pallas_linear_attention
@@ -129,3 +175,7 @@ if __name__ == "__main__":
         bench_recconv(args.batch)
     if args.op in ("attention", "all"):
         bench_attention(args.batch)
+    if args.op in ("dwconv",):
+        bench_dwconv(args.batch)
+    if args.op in ("stage2-packed",):
+        bench_stage2_packed(args.batch)

@@ -60,10 +60,12 @@ MEASURED_GROUPS: Dict[str, Tuple[int, ...]] = {
     "recnext_m0": (1, 1, 4, 2),   # 12314 -> 13261 img/s
     "recnext_m1": (1, 1, 2, 1),   # 8086 -> 9362
     "recnext_m2": (1, 1, 1, 2),   # 6782 -> 6904
+    "recnext_m4": (1, 1, 1, 1),   # round-3 sweep: every packing loses (best g: -0.4%)
     "recnext_m5": (1, 1, 2, 1),   # 1982 -> 2277
     "recnext_a0": (1, 1, 1, 2),   # 10687 -> 10825
     "recnext_a1": (1, 1, 2, 1),   # 7651 -> 7919
     "recnext_a2": (1, 1, 1, 2),   # 5115 -> 5433
+    "recnext_a4": (1, 1, 2, 1),   # 3146 -> 3657 (round-3 sweep, +16.3%)
     "recnext_a5": (1, 4, 2, 1),   # 1078 -> 1818
 }
 
