@@ -106,9 +106,12 @@ def test_default_groups_policy():
     assert default_groups(get_config("recnext_m0"), 256) == (1, 1, 4, 2)
     assert default_groups(get_config("recnext_m0"), 2) == (1, 1, 2, 2)
     assert default_groups(get_config("recnext_a5"), 256) == (1, 4, 2, 1)
-    # aligned variants pack nothing
+    # aligned variants pack nothing (m3 measured; m4 measured explicit all-1s)
     assert default_groups(get_config("recnext_m3"), 256) == (1, 1, 1, 1)
-    assert default_groups(get_config("recnext_a4"), 256) == (1, 1, 1, 1)
+    assert default_groups(get_config("recnext_m4"), 256) == (1, 1, 1, 1)
+    # a4: round-3 sweep found stage-2 g=2 pays (+16.3%) despite exact alignment
+    assert default_groups(get_config("recnext_a4"), 256) == (1, 1, 2, 1)
+    assert default_groups(get_config("recnext_a4"), 2) == (1, 1, 2, 1)
     # fallback rule: g=2 only on exact 128-alignment (C >= 128, C % 128 == 64)
     cfg = get_config("recnext_m1")
     assert cfg.name in MEASURED_GROUPS
