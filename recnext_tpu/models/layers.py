@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from recnext_tpu.ops.conv import conv2d
+from recnext_tpu.ops.conv import conv2d, depthwise_conv2d
 
 Dtype = Any
 
@@ -114,6 +114,17 @@ class Conv2d(nn.Module):
         if self.use_bias:
             b = self.param("bias", self.bias_init or nn.initializers.zeros,
                            (self.out_channels,), jnp.float32)
+        if self.groups == cin and self.out_channels == cin and cin > 1:
+            # fully-depthwise: route through depthwise_conv2d so the taps
+            # backward policy applies (RepVGGDW's 7x7/3x3 filter grads are
+            # 2.8-6.9x cheaper that way — PERF.md round-3 backward campaign)
+            return depthwise_conv2d(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                b,
+                stride=self.stride,
+                padding=self.padding,
+            )
         return conv2d(
             x.astype(self.dtype),
             kernel.astype(self.dtype),

@@ -278,3 +278,47 @@ def _depthwise_conv_transpose2d(x, w, *, stride=2, padding=2):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=w.shape[-1],
     )
+
+
+def rec_conv2d_recurrent(
+    x: jnp.ndarray,
+    n_w: jnp.ndarray,
+    b_w: jnp.ndarray,
+    c_w: jnp.ndarray,
+    d_w: jnp.ndarray,
+    a_w: jnp.ndarray | None = None,
+    *,
+    level: int = 1,
+    mode: str = "nearest",
+) -> jnp.ndarray:
+    """RecConv "Recurrent Aggregation" README variant (reference:
+    /root/reference/README.md "RecConv Recurrent Aggregation" code block).
+
+    Unlike the main form's per-level kernels, this shares FIVE depthwise
+    kernels across all levels: ``n`` (stride-2 downsample), ``a`` (applied to
+    the running aggregate, level >= 2 only), ``b`` (per-level feature), and
+    the final ``c``/``d`` pair:
+
+        fs = [x] + [n applied repeatedly]
+        h  = resize(b(fs[-1]));  h = resize(a(h) + b(f_i)) upward
+        out = c(h) + d(x)
+
+    All kernels HWIO (k, k, 1, C); x NHWC. The level loop is static/unrolled
+    (level <= 4) so XLA sees straight-line depthwise convs + resizes.
+    """
+    if level > 1 and a_w is None:
+        raise ValueError("a_w is required for level > 1")
+    k = int(n_w.shape[0])
+    pad = k // 2
+
+    fs = [x]
+    for _ in range(level):
+        fs.append(depthwise_conv2d(fs[-1], n_w, stride=2, padding=pad))
+
+    h = None
+    for i, o in reversed(list(zip(fs[1:], fs[:-1]))):
+        hb = depthwise_conv2d(i, b_w, stride=1, padding=pad)
+        h = hb if h is None else depthwise_conv2d(h, a_w, stride=1, padding=pad) + hb
+        h = resize(h, (int(o.shape[1]), int(o.shape[2])), mode=mode)
+    return (depthwise_conv2d(h, c_w, stride=1, padding=pad)
+            + depthwise_conv2d(x, d_w, stride=1, padding=pad))
