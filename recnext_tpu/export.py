@@ -97,6 +97,14 @@ def import_torch_and_publish(model_name: str, torch_ckpt: str, out_path: str) ->
 
 def main():
     import argparse
+    import os
+
+    # honor an explicit JAX_PLATFORMS over the site hook's pin (validate.py pattern)
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
 
     p = argparse.ArgumentParser("publish / export a model")
     p.add_argument("--model", required=True)
