@@ -248,3 +248,49 @@ def test_validate_test_pool(tmp_path):
     assert res["count"] == 2
     res = validate_main(common + ["--input-size", "64"])
     assert res["test_pool"] is False
+
+
+def test_flops_attn_crossover():
+    """LA kv-first vs qk-first FLOP crossover at seq_len == head_dim and numeric
+    equivalence (the /root/reference/mlla/flops_attn.py:55-84 assertions) via XLA
+    cost analysis on two combos from either side of the crossover."""
+    from recnext_tpu.benchmark.flops_attn import analyze
+
+    rec = analyze(dim=16, num_heads=2, resolution=8)  # n=64 > head_dim=8
+    assert rec["allclose_1e-4"] and rec["kv_first_cheaper"]
+    rec = analyze(dim=256, num_heads=2, resolution=4)  # n=16 < head_dim=128
+    assert rec["allclose_1e-4"] and not rec["kv_first_cheaper"]
+
+
+def test_analyze_logs(tmp_path, capsys):
+    """analyze_logs tolerates non-JSON lines and computes best/timing over both
+    epoch-keyed and iter-keyed logs (analyze_logs.py counterpart checks)."""
+    from recnext_tpu.benchmark.analyze_logs import load_records, main as logs_main
+
+    log = tmp_path / "log.txt"
+    log.write_text(
+        "WARNING: some jax noise\n"
+        '{"epoch": 0, "test_acc1": 10.0, "epoch_time_s": 5.0}\n'
+        "epoch 0 step 8: loss 4.2\n"
+        '{"epoch": 1, "test_acc1": 30.0, "epoch_time_s": 3.0}\n'
+    )
+    assert len(load_records(str(log))) == 2
+    logs_main(["best", str(log), "--keys", "test_acc1"])
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["best"] == 30.0 and rec["at"] == 1
+    logs_main(["cal_train_time", str(log)])
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["time_mean_s"] == 4.0 and rec["records"] == 2
+
+    itlog = tmp_path / "it.log"
+    itlog.write_text(
+        '{"iter": 100, "mIoU": 11.0, "elapsed_s": 10.0}\n'
+        '{"iter": 200, "mIoU": 12.5, "elapsed_s": 16.0}\n'
+    )
+    logs_main(["best", str(itlog), "--keys", "mIoU"])
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["best"] == 12.5 and rec["at"] == 200
+    logs_main(["plot_curve", str(itlog), "--keys", "mIoU",
+               "--out", str(tmp_path / "c.png")])
+    capsys.readouterr()
+    assert (tmp_path / "c.png").stat().st_size > 0
