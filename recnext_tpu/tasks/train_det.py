@@ -8,7 +8,9 @@ jitted step. `--data-set COCO` consumes a COCO-format folder (annotations json +
 image dir) and evaluates AP@[.5:.95] with the in-framework pure-numpy evaluator;
 `--data-set FAKE` trains/evaluates on synthetic colored-rectangle scenes so the full
 harness — including the AP loop — is exercisable anywhere. Checkpoints (orbax,
-last-3 + auto-resume) and a JSONL log round out the mm runner roles.
+last-3 + auto-resume) and a JSONL log round out the mm runner roles; `--eval-only`
+is the /root/reference/detection/test.py counterpart (checkpoint -> AP numbers)
+and `--benchmark N` the segmentation/tools/benchmark.py fps harness.
 
 Smoke: python -m recnext_tpu.tasks.train_det --backbone recnext_m0 --detector retinanet \
     --epochs 2 --steps-per-epoch 4 --img-size 128 --batch-size 2 --num-classes 5
@@ -190,6 +192,12 @@ def main(argv=None):
     p.add_argument("--init-ckpt", default="", help="classification ckpt (.pth)")
     p.add_argument("--resume", action="store_true",
                    help="auto-resume from the latest checkpoint in output-dir")
+    p.add_argument("--eval-only", action="store_true",
+                   help="restore the latest checkpoint and run the AP eval only "
+                        "(the /root/reference/detection/test.py role)")
+    p.add_argument("--benchmark", type=int, default=0, metavar="ITERS",
+                   help="measure inference images/sec over ITERS batches and exit "
+                        "(the segmentation/tools/benchmark.py role)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compile-cache", default="",
                    help="persistent XLA compilation cache dir (or env "
@@ -325,11 +333,55 @@ def main(argv=None):
         (out / "ckpt").absolute(),
         options=ocp.CheckpointManagerOptions(max_to_keep=3))
     start_epoch = 0
-    if args.resume and mgr.latest_step() is not None:
+    if (args.resume or args.eval_only) and mgr.latest_step() is not None:
         state = mgr.restore(mgr.latest_step(),
                             args=ocp.args.StandardRestore(jax.device_get(state)))
         start_epoch = int(mgr.latest_step()) + 1
         print(f"resumed from epoch {mgr.latest_step()}", flush=True)
+
+    if args.benchmark:
+        # Inference-throughput mode (segmentation/tools/benchmark.py:40-69
+        # counterpart: warmup then timed iters). Chained dispatch + single drain
+        # per the repo's tunnel-timing methodology (bench.py / PERF.md).
+        variables_ = state.variables()
+
+        @jax.jit
+        def bstep(v, x):
+            boxes, scores, *_ = predict_fn(v, x)
+            return x + (0.0 * jnp.sum(scores)).astype(x.dtype)
+
+        x = jnp.ones((args.batch_size, args.img_size, args.img_size, 3),
+                     jnp.float32)
+        x = bstep(variables_, x)
+        float(jnp.sum(x[0, 0, 0]))  # compile + first exec
+        t0 = time.time()
+        for _ in range(args.benchmark):
+            x = bstep(variables_, x)
+        float(jnp.sum(x[0, 0, 0]))
+        dt = time.time() - t0
+        rec = {"detector": args.detector, "backbone": args.backbone,
+               "img_size": args.img_size, "batch_size": args.batch_size,
+               "iters": args.benchmark,
+               "images_per_sec": round(args.benchmark * args.batch_size / dt, 2)}
+        print(json.dumps(rec), flush=True)
+        return rec
+
+    if args.eval_only:
+        # detection/test.py role: checkpoint -> AP numbers, no training.
+        if mgr.latest_step() is None and not args.init_ckpt:
+            raise SystemExit(f"--eval-only: no checkpoint under {out / 'ckpt'}")
+        if val_ds is None:
+            raise SystemExit("--eval-only: no validation dataset")
+        stats = evaluate_detection(
+            val_ds, lambda im: predict_fn(state.variables(), im),
+            batch_size=args.batch_size, with_mask=with_mask,
+            max_images=args.eval_max_images,
+            score_thresh=args.eval_score_thresh)
+        rec = {"epoch": start_epoch - 1,
+               **{k: (round(v, 4) if np.isfinite(v) else None)
+                  for k, v in stats.items()}}
+        print(json.dumps(rec), flush=True)
+        return rec
 
     # ---- loop ---------------------------------------------------------------
     rng = np.random.default_rng(args.seed)

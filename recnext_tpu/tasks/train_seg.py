@@ -6,6 +6,12 @@ frozen-BN backbone init from a classification checkpoint).
 Smoke: python -m recnext_tpu.tasks.train_seg --backbone recnext_m3 --data-set FAKE \
     --iters 20 --eval-every 10 --crop 128 --batch-size 4
 
+Orbax checkpoints (last-3) are written every --ckpt-every iters (default: at
+every eval); `--resume` continues a preempted run, `--eval-only` reports mIoU
+from the latest checkpoint (segmentation/tools/test.py role), and
+`--benchmark N` measures inference images/sec (segmentation/tools/benchmark.py
+role).
+
 Reading the numbers: the per-eval "loss" is a SINGLE batch's loss — with
 mostly-ignore crops it spikes to 2-5x the running mean, so judge convergence by
 the trend. On tiny FOLDER datasets the val mIoU is a macro mean over classes,
@@ -73,6 +79,16 @@ def main(argv=None):
                    help="FOLDER = ADE20K-style images/ + annotations/ layout")
     p.add_argument("--data-path", default="")
     p.add_argument("--init-ckpt", default="", help="classification ckpt (.pth/orbax)")
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="checkpoint interval in iters (0 = at every eval)")
+    p.add_argument("--resume", action="store_true",
+                   help="auto-resume from the latest checkpoint in output-dir")
+    p.add_argument("--eval-only", action="store_true",
+                   help="restore the latest checkpoint and report mIoU only "
+                        "(the segmentation/tools/test.py role)")
+    p.add_argument("--benchmark", type=int, default=0, metavar="ITERS",
+                   help="measure inference images/sec over ITERS batches and exit "
+                        "(the segmentation/tools/benchmark.py role)")
     p.add_argument("--output-dir", default="runs/seg")
     p.add_argument("--compile-cache", default="",
                    help="persistent XLA compilation cache dir (or env "
@@ -133,6 +149,22 @@ def main(argv=None):
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
+
+    # orbax checkpointing (the mmseg runner's CheckpointHook role: periodic
+    # save, last-3 window, auto-resume for preempted 40k-iter runs)
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(
+        (out / "ckpt").absolute(),
+        options=ocp.CheckpointManagerOptions(max_to_keep=3))
+    start_iter = 0
+    if (args.resume or args.eval_only) and mgr.latest_step() is not None:
+        state = mgr.restore(mgr.latest_step(),
+                            args=ocp.args.StandardRestore(jax.device_get(state)))
+        start_iter = int(mgr.latest_step())
+        print(f"resumed at iter {start_iter}", flush=True)
+    ckpt_every = args.ckpt_every or args.eval_every
+
     rng_np = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
@@ -190,20 +222,59 @@ def main(argv=None):
         seen = union_t > 0
         return float(np.mean(inter_t[seen] / union_t[seen])) if seen.any() else 0.0
 
+    def measure_miou(state, batch):
+        if val_ds is not None:
+            return val_miou(state)  # mmseg role: mIoU over the validation split
+        inter, union = eval_step(state, batch)
+        inter, union = np.asarray(inter), np.asarray(union)
+        seen = union > 0
+        return float(np.mean(inter[seen] / union[seen])) if seen.any() else 0.0
+
+    if args.benchmark:
+        # Inference-throughput mode (segmentation/tools/benchmark.py:40-69
+        # counterpart). Chained dispatch + single drain per the repo's
+        # tunnel-timing methodology (bench.py / PERF.md).
+        variables_ = state.variables()
+
+        @jax.jit
+        def bstep(v, x):
+            logits = model.apply(v, x, training=False)
+            return x + (0.0 * jnp.sum(logits)).astype(x.dtype)
+
+        x = jnp.ones((args.batch_size, args.crop, args.crop, 3), dtype)
+        x = bstep(variables_, x)
+        float(jnp.sum(x[0, 0, 0]))  # compile + first exec
+        t0 = time.time()
+        for _ in range(args.benchmark):
+            x = bstep(variables_, x)
+        float(jnp.sum(x[0, 0, 0]))
+        dt = time.time() - t0
+        rec = {"backbone": args.backbone, "crop": args.crop,
+               "batch_size": args.batch_size, "iters": args.benchmark,
+               "images_per_sec": round(args.benchmark * args.batch_size / dt, 2)}
+        print(json.dumps(rec), flush=True)
+        return rec
+
+    if args.eval_only:
+        # segmentation/tools/test.py role: checkpoint -> mIoU, no training.
+        if mgr.latest_step() is None and not args.init_ckpt:
+            raise SystemExit(f"--eval-only: no checkpoint under {out / 'ckpt'}")
+        batch = None
+        if val_ds is None:  # FAKE: fixed seeded eval batch
+            batch = {k: jnp.asarray(v)
+                     for k, v in next_batch(np.random.default_rng(1)).items()}
+        m = measure_miou(state, batch)
+        rec = {"iter": start_iter, "mIoU": round(100 * m, 2)}
+        print(json.dumps(rec), flush=True)
+        return rec
+
     t0 = time.time()
-    for it in range(args.iters):
+    for it in range(start_iter, args.iters):
         batch = next_batch(rng_np)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, loss = train_step(state, batch, jax.random.fold_in(key, it))
         if (it + 1) % args.eval_every == 0 or it + 1 == args.iters:
-            if val_ds is not None:
-                # mmseg role: mIoU over the validation split
-                m = val_miou(state)
-            else:
-                inter, union = eval_step(state, batch)
-                inter, union = np.asarray(inter), np.asarray(union)
-                seen = union > 0
-                m = float(np.mean(inter[seen] / union[seen])) if seen.any() else 0.0
+            m = measure_miou(state, batch)
             rec = {"iter": it + 1, "loss": float(loss), "mIoU": round(100 * m, 2),
                    "elapsed_s": round(time.time() - t0, 1)}
             print(json.dumps(rec), flush=True)
@@ -211,6 +282,9 @@ def main(argv=None):
                 f.write(json.dumps(rec) + "\n")
             if not np.isfinite(float(loss)):
                 raise SystemExit(f"Loss is {float(loss)}, stopping")
+        if (it + 1) % ckpt_every == 0 or it + 1 == args.iters:
+            mgr.save(it + 1, args=ocp.args.StandardSave(jax.device_get(state)))
+    mgr.wait_until_finished()
     return state
 
 

@@ -93,3 +93,37 @@ def test_train_main_cli_grain_loader(tmp_path):
                 "--loader", "grain", "--workers", "0",
                 "--output-dir", str(tmp_path)])
     assert "max_acc" in res
+
+def test_train_det_cli_eval_only_and_benchmark(tmp_path):
+    """--eval-only (detection/test.py role) restores the checkpoint and reports
+    AP without training; --benchmark reports inference images/sec."""
+    from recnext_tpu.tasks.train_det import main
+
+    argv = ["--backbone", "recnext_m0", "--detector", "retinanet",
+            "--num-classes", "4", "--steps-per-epoch", "2", "--img-size", "64",
+            "--batch-size", "2", "--fake-size", "4", "--eval-every", "0",
+            "--output-dir", str(tmp_path)]
+    main(argv + ["--epochs", "1"])
+    rec = main(argv + ["--eval-only", "--eval-max-images", "4"])
+    assert rec["epoch"] == 0 and "bbox_mAP" in rec
+    rec = main(argv + ["--benchmark", "2"])
+    assert rec["images_per_sec"] > 0
+
+
+def test_train_seg_cli_resume_eval_only_benchmark(tmp_path):
+    """Seg CLI orbax checkpointing: --resume continues from the saved iter,
+    --eval-only (tools/test.py role) and --benchmark (tools/benchmark.py role)."""
+    from recnext_tpu.tasks.train_seg import main
+
+    argv = ["--backbone", "recnext_m0", "--num-classes", "5", "--crop", "32",
+            "--batch-size", "2", "--eval-every", "2", "--output-dir", str(tmp_path)]
+    main(argv + ["--iters", "2"])
+    assert (tmp_path / "ckpt").exists()
+    main(argv + ["--iters", "4", "--resume"])
+    recs = [json.loads(l) for l in
+            (tmp_path / "log.txt").read_text().strip().splitlines()]
+    assert [r["iter"] for r in recs] == [2, 4]  # resumed, not restarted
+    rec = main(argv + ["--iters", "4", "--eval-only"])
+    assert rec["iter"] == 4 and "mIoU" in rec
+    rec = main(argv + ["--iters", "4", "--benchmark", "2"])
+    assert rec["images_per_sec"] > 0
