@@ -48,6 +48,41 @@ def model_flops(model_name: str, input_size: int = 224, fused: bool = True,
     return n_params, flops / 2.0
 
 
+def task_flops(task: str, backbone: str, input_size: int,
+               num_classes: int) -> Tuple[int, float]:
+    """(params, MACs) for a downstream-task model — the counterpart of the mm
+    harness FLOP counters (/root/reference/segmentation/tools/get_flops.py,
+    detection get_model_complexity_info usage). Counts the full inference
+    forward (backbone + FPN + heads) at the given square input."""
+    from recnext_tpu.models.registry import get_config
+
+    cfg = get_config(backbone, num_classes=0)
+    x = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    if task == "seg":
+        from recnext_tpu.tasks.segmentation import SemanticFPN
+
+        model = SemanticFPN(backbone_cfg=cfg, num_classes=num_classes)
+    elif task == "retinanet":
+        from recnext_tpu.tasks.detection import RetinaNet
+
+        model = RetinaNet(backbone_cfg=cfg, num_classes=num_classes,
+                          frozen_backbone_stats=False)
+    elif task == "mask_rcnn":
+        from recnext_tpu.tasks.mask_rcnn import MaskRCNN
+
+        model = MaskRCNN(backbone_cfg=cfg, num_classes=num_classes,
+                         frozen_backbone_stats=False)
+    else:
+        raise ValueError(f"unknown task {task!r}")
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    n_params = count_params(variables["params"])
+
+    def fwd(v, xx):
+        return model.apply(v, xx, training=False)
+
+    return n_params, count_flops(fwd, variables, x) / 2.0
+
+
 def main():
     import os
 
@@ -64,11 +99,24 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="recnext_m1")
-    p.add_argument("--input-size", type=int, default=224)
+    p.add_argument("--input-size", type=int, default=0,
+                   help="default: 224 (cls) / 512 (seg, det)")
     p.add_argument("--unfused", action="store_true")
+    p.add_argument("--task", default="cls",
+                   choices=["cls", "seg", "retinanet", "mask_rcnn"],
+                   help="seg/det = mm get_flops.py counterpart")
+    p.add_argument("--num-classes", type=int, default=0,
+                   help="default: 1000 (cls) / 150 (seg) / 80 (det)")
     args = p.parse_args()
-    n, macs = model_flops(args.model, args.input_size, fused=not args.unfused)
-    print(json.dumps({"model": args.model, "params_M": round(n / 1e6, 2),
+    if args.task == "cls":
+        size = args.input_size or 224
+        n, macs = model_flops(args.model, size, fused=not args.unfused)
+    else:
+        size = args.input_size or 512
+        nc = args.num_classes or (150 if args.task == "seg" else 80)
+        n, macs = task_flops(args.task, args.model, size, nc)
+    print(json.dumps({"model": args.model, "task": args.task, "input_size": size,
+                      "params_M": round(n / 1e6, 2),
                       "macs_G": round(macs / 1e9, 3)}))
 
 

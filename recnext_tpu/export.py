@@ -51,7 +51,12 @@ def load_published(model_name: str, path: str) -> Dict[str, Any]:
     template = model.init(jax.random.PRNGKey(0), x)
     p = Path(path)
     if p.is_dir():
-        p = p / f"{model_name}_fused.msgpack"
+        f = p / f"{model_name}_fused.msgpack"
+        if not f.exists():  # sha-stamped artifact (publish_model.py role)
+            stamped = sorted(p.glob(f"{model_name}_fused-*.msgpack"))
+            if stamped:
+                f = stamped[-1]
+        p = f
     return serialization.from_bytes(template, p.read_bytes())
 
 
@@ -87,6 +92,23 @@ def export_stablehlo(
     return blob
 
 
+def sha_stamp(artifact: Path) -> Path:
+    """Content-address a published artifact: rename to <stem>-<sha8><suffix> and
+    record the full digest in the sibling meta.json (the
+    /root/reference/segmentation/tools/publish_model.py:17-28 role)."""
+    import hashlib
+
+    digest = hashlib.sha256(artifact.read_bytes()).hexdigest()
+    stamped = artifact.with_name(f"{artifact.stem}-{digest[:8]}{artifact.suffix}")
+    artifact.rename(stamped)
+    meta = artifact.parent / f"{artifact.stem.replace('_fused', '')}_meta.json"
+    if meta.exists():
+        m = json.loads(meta.read_text())
+        m.update(sha256=digest, artifact=stamped.name)
+        meta.write_text(json.dumps(m, indent=2))
+    return stamped
+
+
 def import_torch_and_publish(model_name: str, torch_ckpt: str, out_path: str) -> Path:
     """Reference .pth checkpoint -> flax -> fused -> published artifact."""
     from recnext_tpu.convert import load_torch_checkpoint
@@ -112,6 +134,8 @@ def main():
     p.add_argument("--out", default="published")
     p.add_argument("--stablehlo", action="store_true")
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--sha-stamp", action="store_true",
+                   help="content-address the artifact (publish_model.py role)")
     args = p.parse_args()
 
     if args.torch_ckpt:
@@ -121,6 +145,8 @@ def main():
         x = jnp.zeros((1, 224, 224, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), x)
         f = publish_fused(args.model, variables, args.out)
+    if args.sha_stamp:
+        f = sha_stamp(f)
     print(f"published {f}")
     if args.stablehlo:
         out = Path(args.out) / f"{args.model}_b{args.batch}.stablehlo"

@@ -60,3 +60,45 @@ def test_param_counts_match_reference_table():
         variables = model.init(jax.random.PRNGKey(0), x)
         n = count_params(fuse_params(variables)["params"])
         assert abs(n / 1e6 - want) < 0.1, f"{name}: {n/1e6:.2f}M vs {want}M"
+
+
+def test_sha_stamp_publish(tmp_path):
+    """publish_model.py role: content-addressed artifact name, digest in meta,
+    load_published resolves the stamped file."""
+    import hashlib
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from recnext_tpu.export import load_published, publish_fused, sha_stamp
+    from recnext_tpu.models.registry import create_model
+
+    model = create_model("recnext_m0", fused=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    f = publish_fused("recnext_m0", variables, str(tmp_path))
+    stamped = sha_stamp(f)
+    assert not f.exists() and stamped.exists()
+    digest = hashlib.sha256(stamped.read_bytes()).hexdigest()
+    assert stamped.name == f"recnext_m0_fused-{digest[:8]}.msgpack"
+    meta = json.loads((tmp_path / "recnext_m0_meta.json").read_text())
+    assert meta["sha256"] == digest and meta["artifact"] == stamped.name
+    restored = load_published("recnext_m0", str(tmp_path))
+    fused = create_model("recnext_m0", fused=True)
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(restored, x, training=False)),
+        np.asarray(fused.apply(restored, x, training=False)))
+
+
+def test_task_flops_counts():
+    """get_flops.py role: seg/det FLOP counting runs and scales with input."""
+    from recnext_tpu.benchmark.flops import task_flops
+
+    n_seg, macs_seg = task_flops("seg", "recnext_m0", 64, num_classes=10)
+    assert n_seg > 2e6 and macs_seg > 0
+    _, macs_big = task_flops("seg", "recnext_m0", 128, num_classes=10)
+    assert macs_big > 3 * macs_seg  # ~quadratic in side length
+    n_det, macs_det = task_flops("retinanet", "recnext_m0", 64, num_classes=10)
+    assert n_det > n_seg / 2 and macs_det > 0
