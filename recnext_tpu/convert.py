@@ -428,3 +428,210 @@ def load_torch_checkpoint(path: str) -> Dict[str, Dict]:
 
     state = torch.load(path, map_location="cpu", weights_only=False)
     return torch_to_flax(state)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax -> torch state dicts.
+#
+# Lets a TPU-trained checkpoint flow back into the reference's torch ecosystem
+# (fuse_eval.py, publish.py, export_coreml.py, the mm deploy tools). The torch
+# key layout is the reference's (/root/reference/model/recnext.py module tree;
+# published-fused layout per publish.py:28-42); correctness is enforced at
+# runtime by round-tripping the produced dict through the golden-tested forward
+# converters above and asserting exact tree equality.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_STEM_INV = {"conv1": "0", "conv2": "2", "conv3": "4"}
+_BLOCK_RE = _re.compile(r"stage(\d+)_block(\d+)")
+_DS_RE = _re.compile(r"downsample_(\d+)")
+_CONVK_RE = _re.compile(r"conv(\d+)_(kernel|bias)")
+_DOWNKB_RE = _re.compile(r"down_(kernel|bias)")
+
+
+def _flatten_tree(tree: Mapping, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], np.ndarray]:
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            out.update(_flatten_tree(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def _inv_path(path: Tuple[str, ...]) -> Tuple[list, str]:
+    """Invert the _map_key token rewrite: flax path tuple -> torch dotted tokens.
+
+    Returns (tokens, transform) where transform is set for leaves the token
+    rewrite itself resolves (RecConv convK_/down_ leaves); everything else is
+    resolved by the caller's leaf rules."""
+    toks: list = []
+    tr = "id"
+    for i, t in enumerate(path):
+        prev = path[i - 1] if i else ""
+        m = _BLOCK_RE.fullmatch(t)
+        if m:
+            toks += ["stages", m.group(1), "blocks", m.group(2)]
+            continue
+        m = _DS_RE.fullmatch(t)
+        if m:
+            toks += ["stages", m.group(1), "downsample"]
+            continue
+        if t == "stem" and i == 0:
+            toks += ["stem", "stem"]
+            continue
+        if prev == "stem" and i == 1 and t in _STEM_INV:
+            toks.append(_STEM_INV[t])
+            continue
+        if prev == "channel_mixer" and t in ("fc1", "fc2"):
+            toks.append("0" if t == "fc1" else "2")
+            continue
+        m = _CONVK_RE.fullmatch(t)
+        if m:
+            toks += ["convs", m.group(1), "weight" if m.group(2) == "kernel" else "bias"]
+            tr = "conv" if m.group(2) == "kernel" else "id"
+            continue
+        m = _DOWNKB_RE.fullmatch(t)
+        if m:
+            toks += ["down", "weight" if m.group(1) == "kernel" else "bias"]
+            tr = "conv" if m.group(1) == "kernel" else "id"
+            continue
+        if t == "attn":
+            # block-scope attn = L-series PartialChannelOperation(attn);
+            # nested attn = LinearAttention at RecAttn2d down.1
+            toks += (["token_mixer", "attn"] if _BLOCK_RE.fullmatch(prev)
+                     else ["down", "1"])
+            continue
+        if t == "down":
+            toks += ["down", "0"]
+            continue
+        toks.append(t)
+    return toks, tr
+
+
+_NORM_LEAF = {"scale": "weight", "bias": "bias", "mean": "running_mean",
+              "var": "running_var"}
+
+
+def _inv_leaf(path: Tuple[str, ...], fused: bool) -> Tuple[str, str]:
+    """flax leaf path -> (torch key, transform)."""
+    toks, tr = _inv_path(path)
+    leaf, parent = path[-1], path[-2] if len(path) >= 2 else ""
+    if _CONVK_RE.fullmatch(leaf) or _DOWNKB_RE.fullmatch(leaf):
+        return ".".join(toks), tr
+    if parent == "norm" and leaf in _NORM_LEAF:
+        toks[-1] = _NORM_LEAF[leaf]
+        return ".".join(toks), "id"
+    if parent == "conv" and leaf in ("kernel", "bias"):
+        name = "weight" if leaf == "kernel" else "bias"
+        if fused:  # ConvNorm -> plain Conv2d: no inner .conv module
+            toks[-2:] = [name]
+        else:
+            toks[-1] = name
+        return ".".join(toks), "conv" if leaf == "kernel" else "id"
+    if parent == "linear" and leaf in ("kernel", "bias"):
+        name = "weight" if leaf == "kernel" else "bias"
+        if fused and path[0] == "head":
+            # fused single averaged classifier head -> plain Linear "head"
+            return f"head.{name}", "linear" if leaf == "kernel" else "id"
+        toks[-1] = name
+        return ".".join(toks), "linear" if leaf == "kernel" else "id"
+    if parent == "token_mixer" and leaf in ("kernel", "bias"):
+        # M/A Downsample raw conv token mixer
+        toks[-1] = "weight" if leaf == "kernel" else "bias"
+        return ".".join(toks), "conv" if leaf == "kernel" else "id"
+    raise KeyError(f"unmapped flax path: {'/'.join(path)}")
+
+
+def _inv_transform(v: np.ndarray, tr: str) -> np.ndarray:
+    if tr == "conv":
+        return np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
+    if tr == "linear":
+        return np.transpose(v, (1, 0))
+    return v
+
+
+def _assert_tree_equal(a: Mapping, b: Mapping, what: str):
+    fa, fb = _flatten_tree(a), _flatten_tree(b)
+    if set(fa) != set(fb):
+        missing = sorted("/".join(p) for p in set(fb) - set(fa))
+        extra = sorted("/".join(p) for p in set(fa) - set(fb))
+        raise AssertionError(f"{what}: tree mismatch; missing={missing[:5]} extra={extra[:5]}")
+    for p in fa:
+        if not np.array_equal(fa[p], np.asarray(fb[p], fa[p].dtype)):
+            raise AssertionError(f"{what}: value mismatch at {'/'.join(p)}")
+
+
+def flax_to_torch(variables: Mapping[str, Any], *, verify: bool = True) -> Dict[str, np.ndarray]:
+    """Flax {params, batch_stats} -> reference torch state dict (unfused layout,
+    /root/reference/model/recnext.py module tree). Values are float32 ndarrays;
+    wrap with torch.from_numpy (or use save_torch_checkpoint) to load into the
+    reference model with strict=True.
+
+    verify=True (default) round-trips the result through torch_to_flax and
+    asserts exact tree equality with the input — any inversion error raises
+    here rather than producing a silently-wrong checkpoint."""
+    params = dict(variables.get("params", {}))
+    stats = dict(variables.get("batch_stats", {}))
+    out: Dict[str, np.ndarray] = {}
+    for path, v in _flatten_tree(params).items():
+        key, tr = _inv_leaf(path, fused=False)
+        out[key] = np.ascontiguousarray(_inv_transform(v.astype(np.float32), tr))
+    for path, v in _flatten_tree(stats).items():
+        key, _ = _inv_leaf(path, fused=False)
+        out[key] = v.astype(np.float32)
+        if path[-1] == "mean":  # torch BN buffers include num_batches_tracked
+            out[key.rsplit(".", 1)[0] + ".num_batches_tracked"] = np.zeros((), np.int64)
+    if verify:
+        rt = torch_to_flax(out)
+        _assert_tree_equal(rt["params"], params, "flax_to_torch params")
+        _assert_tree_equal(rt["batch_stats"], stats, "flax_to_torch batch_stats")
+    return out
+
+
+def flax_fused_to_torch(params: Mapping[str, Any], family: str = "m", *,
+                        verify: bool = True) -> Dict[str, np.ndarray]:
+    """Fused flax params (fuse_params output / published artifact) -> the
+    published torch-fused state dict layout (/root/reference/publish.py:28-42:
+    plain Conv2d/Linear, standalone BatchNorms kept, single classifier head).
+
+    Our FusedAffine(scale, shift) becomes an equivalent standalone BN with
+    weight=scale, bias=shift, running_mean=0, running_var=1-eps — numerically
+    exact under torch's eps=1e-5 normalization."""
+    if "params" in params and isinstance(params["params"], Mapping):
+        params = params["params"]
+    eps = 1e-5
+    out: Dict[str, np.ndarray] = {}
+    for path, v in _flatten_tree(dict(params)).items():
+        if path[-2:] == ("norm", "shift"):
+            continue  # handled with its scale sibling
+        if path[-2:] == ("norm", "scale"):
+            toks, _ = _inv_path(path[:-1])
+            prefix = ".".join(toks)
+            scale = v.astype(np.float32)
+            node = params
+            for p in path[:-1]:
+                node = node[p]
+            shift = np.asarray(node["shift"], np.float32)
+            out[f"{prefix}.weight"] = scale
+            out[f"{prefix}.bias"] = shift
+            out[f"{prefix}.running_mean"] = np.zeros_like(scale)
+            out[f"{prefix}.running_var"] = np.full_like(scale, 1.0 - eps)
+            out[f"{prefix}.num_batches_tracked"] = np.zeros((), np.int64)
+            continue
+        key, tr = _inv_leaf(path, fused=True)
+        out[key] = np.ascontiguousarray(_inv_transform(v.astype(np.float32), tr))
+    if verify:
+        rt = torch_fused_to_flax(out, family=family)
+        _assert_tree_equal(rt["params"], dict(params), "flax_fused_to_torch")
+    return out
+
+
+def save_torch_checkpoint(state: Mapping[str, np.ndarray], path: str) -> None:
+    """Write a reverse-converted state dict as a reference-loadable .pth
+    ({'model': state_dict} wrapping, matching main.py's checkpoint format)."""
+    import torch
+
+    torch.save({"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                          for k, v in state.items()}}, path)

@@ -131,23 +131,53 @@ def main():
     p = argparse.ArgumentParser("publish / export a model")
     p.add_argument("--model", required=True)
     p.add_argument("--torch-ckpt", default="", help=".pth to import (else random init)")
+    p.add_argument("--ckpt", default="", help="orbax train-state dir to export")
+    p.add_argument("--ema", action="store_true", help="export the EMA weights from --ckpt")
     p.add_argument("--out", default="published")
     p.add_argument("--stablehlo", action="store_true")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--sha-stamp", action="store_true",
                    help="content-address the artifact (publish_model.py role)")
+    p.add_argument("--to-torch", default="",
+                   help="also write a reference-loadable .pth (reverse conversion; "
+                        "published-fused layout, or training layout with --torch-unfused)")
+    p.add_argument("--torch-unfused", action="store_true",
+                   help=".pth in the unfused training layout instead of published-fused")
     args = p.parse_args()
 
     if args.torch_ckpt:
-        f = import_torch_and_publish(args.model, args.torch_ckpt, args.out)
+        from recnext_tpu.convert import load_torch_checkpoint
+
+        variables = load_torch_checkpoint(args.torch_ckpt)
+    elif args.ckpt:
+        import orbax.checkpoint as ocp
+
+        p = Path(args.ckpt).resolve()
+        if (p / "default").is_dir():  # CheckpointManager step dir (train CLI layout)
+            p = p / "default"
+        restored = ocp.StandardCheckpointer().restore(p)
+        key = "ema_params" if args.ema else "params"
+        variables = {"params": restored[key],
+                     "batch_stats": restored["ema_batch_stats" if args.ema
+                                             else "batch_stats"]}
     else:
         model = create_model(args.model)
         x = jnp.zeros((1, 224, 224, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), x)
-        f = publish_fused(args.model, variables, args.out)
+    f = publish_fused(args.model, variables, args.out)
     if args.sha_stamp:
         f = sha_stamp(f)
     print(f"published {f}")
+    if args.to_torch:
+        from recnext_tpu.convert import (flax_fused_to_torch, flax_to_torch,
+                                         save_torch_checkpoint)
+
+        family = get_config(args.model).family
+        state = (flax_to_torch(variables) if args.torch_unfused
+                 else flax_fused_to_torch(fuse_params(variables), family=family))
+        save_torch_checkpoint(state, args.to_torch)
+        print(f"exported torch checkpoint {args.to_torch} "
+              f"({'unfused' if args.torch_unfused else 'published-fused'} layout)")
     if args.stablehlo:
         out = Path(args.out) / f"{args.model}_b{args.batch}.stablehlo"
         export_stablehlo(args.model, load_published(args.model, args.out),
