@@ -221,8 +221,12 @@ def main():
     args = p.parse_args()
 
     from recnext_tpu.utils.cache import enable_compile_cache
+    from recnext_tpu.utils.watchdog import require_devices
 
     enable_compile_cache(args.compile_cache or None)
+    # Fail loudly (one JSON error line, rc=17) instead of hanging forever if the
+    # axon tunnel is down / the single-client chip is held by another process.
+    require_devices(metric=f"{args.model}_device_init")
 
     kw = {}
     if args.model.startswith("recnext_m"):
