@@ -628,6 +628,88 @@ def flax_fused_to_torch(params: Mapping[str, Any], family: str = "m", *,
     return out
 
 
+_MLLA_TOKEN_INV = {
+    "conv2_0": ["conv2.0"], "conv2_1": ["conv2.1"],
+    "conv3_0": ["conv3.0"], "conv3_1": ["conv3.1"],
+    "mlp_fc1": ["mlp.fc1"], "mlp_fc2": ["mlp.fc2"],
+    # ambiguous tokens: every option is tried and verified against the forward
+    # mapper, so ordering is just a fast path ("bn" is context-ordered inline)
+    "attn": ["down.1", "attn"],
+    "down": ["down.0", "down"],
+}
+_MLLA_LEAF_INV = {"kernel": "weight", "bias": "bias", "scale": "weight",
+                  "mean": "running_mean", "var": "running_var"}
+
+
+def _mlla_inv_leaf(path: Tuple[str, ...], col: str) -> Tuple[str, str]:
+    """Invert _map_key_mlla for one flax leaf path by candidate generation:
+    every ambiguous token yields options, each full candidate torch key is
+    verified by running the FORWARD mapper and requiring it to map back to
+    exactly this path/collection — so a wrong guess cannot survive."""
+    import itertools
+
+    options: list = []
+    for i, t in enumerate(path):
+        if i == 0 and t == "stem":
+            options.append(["patch_embed"])
+            continue
+        m = _re.fullmatch(r"layer(\d+)_block(\d+)", t)
+        if m:
+            options.append([f"layers.{m.group(1)}.blocks.{m.group(2)}"])
+            continue
+        m = _re.fullmatch(r"layer(\d+)_down", t)
+        if m:
+            options.append([f"layers.{m.group(1)}.downsample"])
+            continue
+        m = _CONVK_RE.fullmatch(t)
+        if m:
+            options.append([f"convs.{m.group(1)}."
+                            f"{'weight' if m.group(2) == 'kernel' else 'bias'}"])
+            continue
+        m = _DOWNKB_RE.fullmatch(t)
+        if m:
+            options.append([f"down.{'weight' if m.group(1) == 'kernel' else 'bias'}"])
+            continue
+        if i == len(path) - 1 and t in _MLLA_LEAF_INV:
+            options.append([_MLLA_LEAF_INV[t]])
+            continue
+        if t == "bn":
+            # the forward mapper accepts both spellings (so both would verify);
+            # the reference models use "norm" inside the stem ConvLayers and
+            # "bn" elsewhere — order decides which valid key we emit
+            options.append(["norm", "bn"] if "stem" in path else ["bn", "norm"])
+            continue
+        options.append(_MLLA_TOKEN_INV.get(t, [t]))
+    for combo in itertools.product(*options):
+        key = ".".join(combo)
+        mapped = _map_key_mlla(key)
+        if mapped is not None and mapped[0] == path and mapped[1] == col:
+            return key, mapped[2]
+    raise KeyError(f"no torch key found for MLLA flax path {'/'.join(path)} ({col})")
+
+
+def mlla_flax_to_torch(variables: Mapping[str, Any], *, verify: bool = True) -> Dict[str, np.ndarray]:
+    """Flax MLLA {params, batch_stats} -> reference torch state dict
+    (/root/reference/mlla/models/* module tree). The produced dict omits the
+    deterministic `rope.rotations` buffers (the forward mapper skips them; a
+    freshly constructed torch model already holds the correct values), so load
+    with strict=False and check the only missing keys are rope buffers."""
+    params = dict(variables.get("params", {}))
+    stats = dict(variables.get("batch_stats", {}))
+    out: Dict[str, np.ndarray] = {}
+    for col, tree in (("params", params), ("batch_stats", stats)):
+        for path, v in _flatten_tree(tree).items():
+            key, tr = _mlla_inv_leaf(path, col)
+            out[key] = np.ascontiguousarray(_inv_transform(v.astype(np.float32), tr))
+            if col == "batch_stats" and path[-1] == "mean":
+                out[key.rsplit(".", 1)[0] + ".num_batches_tracked"] = np.zeros((), np.int64)
+    if verify:
+        rt = mlla_torch_to_flax(out)
+        _assert_tree_equal(rt["params"], params, "mlla_flax_to_torch params")
+        _assert_tree_equal(rt["batch_stats"], stats, "mlla_flax_to_torch batch_stats")
+    return out
+
+
 def save_torch_checkpoint(state: Mapping[str, np.ndarray], path: str) -> None:
     """Write a reverse-converted state dict as a reference-loadable .pth
     ({'model': state_dict} wrapping, matching main.py's checkpoint format)."""

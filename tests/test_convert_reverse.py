@@ -126,6 +126,55 @@ def test_fused_roundtrip_exact():
         np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b))
 
 
+@pytest.mark.parametrize("variant", ["recconv", "recattn", "recattn_simple"])
+def test_mlla_flax_to_torch_parity(variant):
+    """MLLA reverse export loads into the reference mlla models (strict except
+    the deterministic rope.rotations buffers) and reproduces flax logits."""
+    from recnext_tpu.convert import mlla_flax_to_torch
+    from recnext_tpu.models.mlla import MLLA
+    from tests.test_mlla import REF_FILES, _small_cfg
+
+    cfg = _small_cfg(variant)
+    fm = MLLA(cfg=cfg)
+    variables = fm.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, cfg.img_size, cfg.img_size, 3)))
+    rng = np.random.default_rng(21)
+
+    def rand(path, leaf):
+        name = path[-1].key
+        arr = rng.normal(size=leaf.shape).astype(np.float32) * 0.1
+        if name == "var":
+            arr = np.abs(arr) + 0.75
+        if name == "scale":
+            arr = arr + 1.0
+        return jnp.asarray(arr)
+
+    variables = jax.tree_util.tree_map_with_path(rand, variables)
+    state = mlla_flax_to_torch(variables)  # verify=True round-trips internally
+
+    mod = load_ref_module(REF_FILES[variant], f"ref_mlla_rev_{variant}")
+    torch.manual_seed(0)
+    kwargs = dict(img_size=cfg.img_size, num_classes=cfg.num_classes,
+                  embed_dim=cfg.embed_dim, depths=list(cfg.depths),
+                  drop_path_rate=0.0)
+    if variant == "recconv":
+        tm = mod.MLLA(expansion_ratio=cfg.expansion_ratio, **kwargs)
+    else:
+        tm = mod.MLLA(num_heads=list(cfg.num_heads), **kwargs)
+    tm.eval()
+    res = tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                              for k, v in state.items()}, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    assert all(k.endswith("rope.rotations") for k in res.missing_keys), res.missing_keys
+
+    x = np.random.default_rng(22).normal(
+        size=(2, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    y_j = np.asarray(fm.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        y_t = tm(to_nchw_tensor(x)).numpy()
+    np.testing.assert_allclose(y_j, y_t, atol=3e-4, rtol=1e-4)
+
+
 def test_save_and_reload_torch_checkpoint(tmp_path):
     """save_torch_checkpoint writes a {'model': ...}-wrapped .pth that our own
     load_torch_checkpoint (and the reference's tolerant loaders) accept."""
