@@ -65,4 +65,16 @@ with tempfile.TemporaryDirectory() as d:
     print(f"packed executor parity max relative diff = {rel:.2e}")
     assert rel < 1e-4
 
+    # reverse export: the same weights as a reference-loadable torch .pth
+    # (self-verified by round-tripping through the forward converters)
+    from recnext_tpu.convert import (flax_to_torch, load_torch_checkpoint,
+                                     save_torch_checkpoint)
+
+    pth = os.path.join(d, f"{NAME}.pth")
+    save_torch_checkpoint(flax_to_torch(jax.device_get(variables)), pth)
+    back = load_torch_checkpoint(pth)
+    back_logits = model.apply(back, x, training=False)
+    np.testing.assert_array_equal(np.asarray(back_logits), np.asarray(logits))
+    print(f"reverse torch export round-trip OK: {os.path.basename(pth)}")
+
 print("quickstart OK")
