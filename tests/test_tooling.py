@@ -294,3 +294,15 @@ def test_analyze_logs(tmp_path, capsys):
                "--out", str(tmp_path / "c.png")])
     capsys.readouterr()
     assert (tmp_path / "c.png").stat().st_size > 0
+
+
+def test_require_devices_success_path():
+    """Watchdog returns devices and leaves no pending exit when init is healthy
+    (the timeout path is exercised operationally: rc=17 + JSON error line when
+    the axon tunnel is down — see utils/watchdog.py)."""
+    from recnext_tpu.utils.watchdog import require_devices
+
+    devices = require_devices(timeout_s=60.0)
+    assert len(devices) >= 1
+    # disabled mode passes straight through
+    assert len(require_devices(timeout_s=0)) >= 1
