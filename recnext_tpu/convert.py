@@ -574,6 +574,9 @@ def flax_to_torch(variables: Mapping[str, Any], *, verify: bool = True) -> Dict[
     here rather than producing a silently-wrong checkpoint."""
     params = dict(variables.get("params", {}))
     stats = dict(variables.get("batch_stats", {}))
+    if not params:
+        raise ValueError("flax_to_torch expects {'params': ..., 'batch_stats': ...} "
+                         "(got no 'params' collection)")
     out: Dict[str, np.ndarray] = {}
     for path, v in _flatten_tree(params).items():
         key, tr = _inv_leaf(path, fused=False)
@@ -601,6 +604,8 @@ def flax_fused_to_torch(params: Mapping[str, Any], family: str = "m", *,
     exact under torch's eps=1e-5 normalization."""
     if "params" in params and isinstance(params["params"], Mapping):
         params = params["params"]
+    if not params:
+        raise ValueError("flax_fused_to_torch got an empty params tree")
     eps = 1e-5
     out: Dict[str, np.ndarray] = {}
     for path, v in _flatten_tree(dict(params)).items():
@@ -696,6 +701,8 @@ def mlla_flax_to_torch(variables: Mapping[str, Any], *, verify: bool = True) -> 
     with strict=False and check the only missing keys are rope buffers."""
     params = dict(variables.get("params", {}))
     stats = dict(variables.get("batch_stats", {}))
+    if not params:
+        raise ValueError("mlla_flax_to_torch expects {'params': ..., 'batch_stats': ...}")
     out: Dict[str, np.ndarray] = {}
     for col, tree in (("params", params), ("batch_stats", stats)):
         for path, v in _flatten_tree(tree).items():
