@@ -114,6 +114,40 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
     return iters * batch / (time.perf_counter() - t0), batch
 
 
+def device_latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 200,
+                      image_size: int = 224, **model_kwargs) -> float:
+    """On-device batch-1 latency: `iters` DEPENDENT fused forwards chained inside
+    ONE jitted lax.scan (the benchmark/micro.py:18-37 device-timer pattern), so
+    the single host<->device round-trip is amortized to ~0 and the serial
+    dependency chain forbids any cross-iteration pipelining — wall / iters is the
+    true per-inference device latency. This is the number the reference's
+    latency benchmarks (speed_gpu.py with torch.cuda.synchronize,
+    README.md:174-176 Core-ML latency) correspond to; the host-visible p50 from
+    `latency_ms` additionally includes the axon-tunnel RTT and is an environment
+    artifact here (PERF.md "measurement pitfalls")."""
+    from recnext_tpu.models.registry import create_model
+
+    fused = create_model(model_name, fused=True, dtype=dtype, **model_kwargs)
+    fvars = jax.device_put(_bench_variables(model_name, dtype, **model_kwargs))
+
+    def one(carry, _):
+        y = fused.apply(fvars, carry, training=False)
+        # feed the logits back into the next input: serializes iterations and
+        # defeats CSE (every scan step reads the previous step's output)
+        return carry + (0.0 * jnp.sum(y)).astype(carry.dtype), ()
+
+    @jax.jit
+    def run(x0):
+        final, _ = jax.lax.scan(one, x0, None, length=iters)
+        return jnp.sum(final.astype(jnp.float32))
+
+    x = jnp.ones((1, image_size, image_size, 3), dtype)
+    float(run(x))  # compile + first exec
+    t0 = time.perf_counter()
+    float(run(x))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
                **model_kwargs) -> dict:
     """Batch-1 p50 latency (the iPhone/Core-ML latency counterpart measurement,
@@ -123,7 +157,8 @@ def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
     compute, so the RAW p50 is an environment artifact (PERF.md). We measure the
     RTT floor with an identically-synced trivial computation and report both the
     raw number and the RTT-subtracted estimate, flagged environment_limited when
-    the floor dominates."""
+    the floor dominates. `device_latency_ms` gives the RTT-free on-device number
+    via a scan-chained in-program loop; prefer it."""
     import numpy as np
 
     from recnext_tpu.models.registry import create_model
@@ -208,6 +243,8 @@ def main():
     p.add_argument("--model", default="recnext_m1")
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--latency", action="store_true", help="batch-1 p50 latency mode")
+    p.add_argument("--latency-iters", type=int, default=200,
+                   help="scan-chain length for the on-device latency measurement")
     p.add_argument("--train", action="store_true", help="training-step throughput mode")
     p.add_argument("--timed", type=float, default=10.0)
     p.add_argument("--warmup", type=float, default=5.0)
@@ -220,8 +257,18 @@ def main():
                         "2-4 min first compile")
     args = p.parse_args()
 
+    import os
+
     from recnext_tpu.utils.cache import enable_compile_cache
     from recnext_tpu.utils.watchdog import require_devices
+
+    # Honor an explicit JAX_PLATFORMS (e.g. cpu) over the site hook's TPU pin,
+    # same pattern as validate.py / export.py — lets the CLI be driven on CPU.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
 
     enable_compile_cache(args.compile_cache or None)
     # Fail loudly (one JSON error line, rc=17) instead of hanging forever if the
@@ -232,16 +279,16 @@ def main():
     if args.model.startswith("recnext_m"):
         kw["recconv_upsample"] = args.upsample
     if args.latency:
-        lat = latency_ms(args.model, **kw)
-        rec = {"metric": f"{args.model}_fused_bf16_224_batch1_p50",
-               "value": round(lat["p50_ms"], 3), "unit": "ms",
+        dev_ms = device_latency_ms(args.model, iters=args.latency_iters, **kw)
+        lat = latency_ms(args.model, iters=min(args.latency_iters, 100), **kw)
+        rec = {"metric": f"{args.model}_fused_bf16_224_batch1_device_ms",
+               "value": round(dev_ms, 3), "unit": "ms",
                "vs_baseline": None,
-               "rtt_floor_ms": round(lat["rtt_floor_ms"], 3),
-               "compute_est_ms": round(lat["compute_est_ms"], 3)}
+               "host_p50_ms": round(lat["p50_ms"], 3),
+               "rtt_floor_ms": round(lat["rtt_floor_ms"], 3)}
         if lat["environment_limited"]:
-            rec["environment_limited"] = True
-            rec["caveat"] = ("dominated by per-dispatch tunnel RTT, not on-chip "
-                             "compute; use compute_est_ms")
+            rec["note"] = ("host_p50 dominated by per-dispatch tunnel RTT; "
+                           "value is the scan-chained on-device latency")
         print(json.dumps(rec))
         return
     if args.train:

@@ -14,7 +14,19 @@ from pathlib import Path
 
 
 def main(argv=None):
+    import os
+
     import bench as bench_mod  # repo-root bench.py
+
+    # honor an explicit JAX_PLATFORMS over the site hook's TPU pin (bench.py
+    # pattern); without this a CPU-intended sweep claims the single-client chip
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
 
     p = argparse.ArgumentParser()
     p.add_argument("--models", nargs="+", default=["recnext_m0", "recnext_m1"])
@@ -38,11 +50,9 @@ def main(argv=None):
             row["rtx3090_baseline"] = base
             row["vs_baseline"] = round(ips / base, 3)
         if args.latency:
-            lat = bench_mod.latency_ms(name, **kw)
-            row["batch1_p50_ms"] = round(lat["p50_ms"], 3)
-            row["batch1_compute_est_ms"] = round(lat["compute_est_ms"], 3)
-            if lat["environment_limited"]:
-                row["latency_environment_limited"] = True
+            # scan-chained on-device batch-1 latency (RTT-free; bench.py)
+            row["batch1_device_ms"] = round(
+                bench_mod.device_latency_ms(name, **kw), 3)
         rows.append(row)
         print(json.dumps(row), flush=True)
     Path(args.out).write_text(json.dumps(rows, indent=2))

@@ -296,6 +296,24 @@ def test_analyze_logs(tmp_path, capsys):
     assert (tmp_path / "c.png").stat().st_size > 0
 
 
+def test_device_latency_scan_chained(monkeypatch):
+    """bench.device_latency_ms: the scan-chained batch-1 latency measurement
+    compiles, serializes iterations through a data dependency, and returns a
+    positive per-inference time (tiny config; the real number is measured on
+    the TPU — PERF.md 'batch-1 latency')."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench as bench_mod
+
+    ms = bench_mod.device_latency_ms(
+        "recnext_m0", dtype=jnp.float32, iters=3, image_size=32,
+        embed_dim=(8, 16, 32, 64), depth=(1, 0, 1, 0),
+        mlp_ratio=(2.0, 2.0, 2.0, 2.0), num_classes=4)
+    assert ms > 0.0
+
+
 def test_require_devices_success_path():
     """Watchdog returns devices and leaves no pending exit when init is healthy
     (the timeout path is exercised operationally: rc=17 + JSON error line when
