@@ -32,30 +32,52 @@ def main(argv=None):
     p.add_argument("--models", nargs="+", default=["recnext_m0", "recnext_m1"])
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--timed", type=float, default=6.0)
-    p.add_argument("--latency", action="store_true", help="also batch-1 p50")
+    p.add_argument("--latency", action="store_true",
+                   help="also scan-chained batch-1 device latency")
     p.add_argument("--out", default="bench_results.json")
+    p.add_argument("--resume", action="store_true",
+                   help="skip models already present in --out (tunnel-outage "
+                        "restartability; rows are flushed after every model)")
+    p.add_argument("--compile-cache", default="",
+                   help="persistent XLA compilation cache dir (or env "
+                        "RECNEXT_COMPILE_CACHE)")
     args = p.parse_args(argv)
 
+    from recnext_tpu.utils.cache import enable_compile_cache
+    from recnext_tpu.utils.watchdog import require_devices
+
+    enable_compile_cache(args.compile_cache or None)
+    require_devices(metric="bench_all_device_init")
+
     rows = []
+    if args.resume and Path(args.out).exists():
+        rows = [r for r in json.loads(Path(args.out).read_text())
+                if r["model"] in args.models and "error" not in r]
+    done = {r["model"] for r in rows}
     for name in args.models:
+        if name in done:
+            continue
         kw = {"recconv_upsample": "matmul"} if name.startswith("recnext_m") else {}
-        ips, used_batch = bench_mod.throughput(name, args.batch,
-                                               timed_s=args.timed, **kw)
-        row = {"model": name, "images_per_sec": round(ips, 1),
-               "batch": used_batch}
-        if used_batch != args.batch:
-            row["batch_auto_split"] = True  # scoped-VMEM compile cliff (PERF.md)
-        base = bench_mod.BASELINES.get(name)
-        if base:
-            row["rtx3090_baseline"] = base
-            row["vs_baseline"] = round(ips / base, 3)
-        if args.latency:
-            # scan-chained on-device batch-1 latency (RTT-free; bench.py)
-            row["batch1_device_ms"] = round(
-                bench_mod.device_latency_ms(name, **kw), 3)
+        row = {"model": name}
+        try:
+            ips, used_batch = bench_mod.throughput(name, args.batch,
+                                                   timed_s=args.timed, **kw)
+            row.update(images_per_sec=round(ips, 1), batch=used_batch)
+            if used_batch != args.batch:
+                row["batch_auto_split"] = True  # scoped-VMEM cliff (PERF.md)
+            base = bench_mod.BASELINES.get(name)
+            if base:
+                row["rtx3090_baseline"] = base
+                row["vs_baseline"] = round(ips / base, 3)
+            if args.latency:
+                # scan-chained on-device batch-1 latency (RTT-free; bench.py)
+                row["batch1_device_ms"] = round(
+                    bench_mod.device_latency_ms(name, **kw), 3)
+        except Exception as e:  # keep sweeping; rerun with --resume to retry
+            row["error"] = f"{type(e).__name__}: {e}"[:300]
         rows.append(row)
         print(json.dumps(row), flush=True)
-    Path(args.out).write_text(json.dumps(rows, indent=2))
+        Path(args.out).write_text(json.dumps(rows, indent=2))
     return rows
 
 

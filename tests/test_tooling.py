@@ -324,3 +324,48 @@ def test_require_devices_success_path():
     assert len(devices) >= 1
     # disabled mode passes straight through
     assert len(require_devices(timeout_s=0)) >= 1
+
+
+def test_bench_all_resume_and_error_capture(tmp_path, monkeypatch):
+    """bench_all: rows flush after every model, --resume skips completed models
+    (and retries errored ones), per-model failures become error rows instead of
+    killing the sweep — the tunnel-outage restartability contract."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench as bench_mod
+    from recnext_tpu.benchmark import bench_all
+
+    calls = []
+
+    def fake_throughput(name, batch, **kw):
+        calls.append(name)
+        if name == "recnext_m1":
+            raise RuntimeError("simulated tunnel drop")
+        return 1000.0, batch
+
+    monkeypatch.setattr(bench_mod, "throughput", fake_throughput)
+    monkeypatch.setattr(bench_mod, "device_latency_ms", lambda name, **kw: 1.5)
+
+    out = tmp_path / "res.json"
+    rows = bench_all.main(["--models", "recnext_m0", "recnext_m1", "--latency",
+                           "--out", str(out)])
+    assert [r["model"] for r in rows] == ["recnext_m0", "recnext_m1"]
+    assert rows[0]["batch1_device_ms"] == 1.5
+    assert rows[0]["vs_baseline"] == round(1000.0 / 750, 3)
+    assert "simulated tunnel drop" in rows[1]["error"]
+    assert json.loads(out.read_text()) == rows  # flushed to disk
+
+    # resume: m0 kept (not re-run), errored m1 retried and now succeeds
+    def ok_throughput(name, batch, **kw):
+        calls.append(name)
+        return 2000.0, batch
+
+    monkeypatch.setattr(bench_mod, "throughput", ok_throughput)
+    calls.clear()
+    rows2 = bench_all.main(["--models", "recnext_m0", "recnext_m1", "--resume",
+                            "--out", str(out)])
+    assert calls == ["recnext_m1"]
+    assert {r["model"] for r in rows2} == {"recnext_m0", "recnext_m1"}
+    assert all("error" not in r for r in rows2)
