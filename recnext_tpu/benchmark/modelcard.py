@@ -54,15 +54,29 @@ FAMILY_LONG = {"m": "RecConv token mixer", "a": "RecAttn linear-attention mixer"
                "l": "LSNet-style partial-channel mixer"}
 
 
-def make_card(model_name: str, throughput: float | None = None) -> str:
+def make_card(model_name: str, throughput: float | None = None,
+              measured: dict | None = None) -> str:
+    """`measured` is a bench_results.json row for this model (bench_all output);
+    when given, the card carries the measured TPU table: throughput, ratio vs
+    the reference's RTX3090 number (upload.py:12-34), and the scan-chained
+    batch-1 device latency."""
     from recnext_tpu.benchmark.flops import model_flops
     from recnext_tpu.models.registry import get_config
 
     cfg = get_config(model_name)
     n_params, macs = model_flops(model_name, 224, fused=True)
+    if measured and not throughput:
+        throughput = measured.get("images_per_sec")
     extra = ""
     if throughput:
         extra = f"| TPU v5e throughput (fused bf16 @224) | {throughput:.0f} img/s |\n"
+    if measured:
+        if measured.get("vs_baseline"):
+            extra += (f"| vs RTX3090 (reference fused img/s) | "
+                      f"{measured['vs_baseline']:.1f}x |\n")
+        if measured.get("batch1_device_ms"):
+            extra += (f"| batch-1 device latency (fused bf16 @224) | "
+                      f"{measured['batch1_device_ms']:.2f} ms |\n")
     return TEMPLATE.format(
         name=model_name, family=cfg.family, family_long=FAMILY_LONG[cfg.family],
         embed_dim=cfg.embed_dim, depth=cfg.depth, mlp_ratio=cfg.mlp_ratio,
@@ -83,16 +97,35 @@ def main(argv=None):
         except Exception:
             pass
     p = argparse.ArgumentParser()
-    p.add_argument("--model", required=True)
+    p.add_argument("--model", help="one variant (or use --all)")
+    p.add_argument("--all", action="store_true",
+                   help="regenerate cards for every registry variant")
     p.add_argument("--out", default="cards")
     p.add_argument("--throughput", type=float, default=None)
+    p.add_argument("--results", default=None,
+                   help="bench_results.json (bench_all output); adds measured "
+                        "throughput / vs-RTX3090 / batch-1 latency rows")
     args = p.parse_args(argv)
-    card = make_card(args.model, args.throughput)
+    if bool(args.model) == args.all:
+        p.error("exactly one of --model / --all")
+
+    measured_by_model = {}
+    if args.results:
+        measured_by_model = {r["model"]: r
+                             for r in json.loads(Path(args.results).read_text())
+                             if "error" not in r}
+
+    from recnext_tpu.models.registry import list_models
+
+    names = list_models() if args.all else [args.model]
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    path = out / f"{args.model}.md"
-    path.write_text(card)
-    print(f"wrote {path}")
+    for name in names:
+        card = make_card(name, args.throughput,
+                         measured=measured_by_model.get(name))
+        path = out / f"{name}.md"
+        path.write_text(card)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -85,6 +85,14 @@ def test_modelcard(tmp_path):
     card = make_card("recnext_m0", throughput=3700.0)
     assert "recnext_m0" in card and "2.5" in card and "3700" in card
 
+    # bench_results.json row -> measured throughput/ratio/latency table rows
+    card = make_card("recnext_m0", measured={
+        "model": "recnext_m0", "images_per_sec": 14775.1,
+        "vs_baseline": 19.7, "batch1_device_ms": 0.31})
+    assert "14775 img/s" in card
+    assert "19.7x" in card
+    assert "0.31 ms" in card
+
 
 def test_yaml_config_two_stage(tmp_path):
     import yaml
