@@ -118,13 +118,16 @@ def device_latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 200,
                       image_size: int = 224, **model_kwargs) -> float:
     """On-device batch-1 latency: `iters` DEPENDENT fused forwards chained inside
     ONE jitted lax.scan (the benchmark/micro.py:18-37 device-timer pattern), so
-    the single host<->device round-trip is amortized to ~0 and the serial
-    dependency chain forbids any cross-iteration pipelining — wall / iters is the
-    true per-inference device latency. This is the number the reference's
-    latency benchmarks (speed_gpu.py with torch.cuda.synchronize,
-    README.md:174-176 Core-ML latency) correspond to; the host-visible p50 from
-    `latency_ms` additionally includes the axon-tunnel RTT and is an environment
-    artifact here (PERF.md "measurement pitfalls")."""
+    the single host<->device round-trip is paid once per run (not per iteration)
+    and the serial dependency chain forbids any cross-iteration pipelining. That
+    one remaining RTT (~32-36 ms here, PERF.md) would still add RTT/iters
+    (~0.17 ms at iters=200 — up to ~2x on the sub-ms m0) to the result, so the
+    same dispatch+drain structure is timed on a trivial computation and
+    subtracted as a floor: latency = (wall - floor) / iters. This is the number
+    the reference's latency benchmarks (speed_gpu.py with
+    torch.cuda.synchronize, README.md:174-176 Core-ML latency) correspond to;
+    the host-visible p50 from `latency_ms` includes the full RTT per call and is
+    an environment artifact here (PERF.md "measurement pitfalls")."""
     from recnext_tpu.models.registry import create_model
 
     fused = create_model(model_name, fused=True, dtype=dtype, **model_kwargs)
@@ -141,11 +144,22 @@ def device_latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 200,
         final, _ = jax.lax.scan(one, x0, None, length=iters)
         return jnp.sum(final.astype(jnp.float32))
 
+    @jax.jit
+    def noop(x0):  # one dispatch + one scalar drain: the per-run RTT floor
+        return jnp.sum(x0.astype(jnp.float32))
+
     x = jnp.ones((1, image_size, image_size, 3), dtype)
+    float(noop(x))  # compile
+    floor = min(_timed(lambda: float(noop(x))) for _ in range(3))
     float(run(x))  # compile + first exec
+    wall = min(_timed(lambda: float(run(x))) for _ in range(2))
+    return max(wall - floor, 0.0) / iters * 1e3
+
+
+def _timed(fn) -> float:
     t0 = time.perf_counter()
-    float(run(x))
-    return (time.perf_counter() - t0) / iters * 1e3
+    fn()
+    return time.perf_counter() - t0
 
 
 def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
@@ -257,18 +271,15 @@ def main():
                         "2-4 min first compile")
     args = p.parse_args()
 
-    import os
 
     from recnext_tpu.utils.cache import enable_compile_cache
     from recnext_tpu.utils.watchdog import require_devices
 
     # Honor an explicit JAX_PLATFORMS (e.g. cpu) over the site hook's TPU pin,
     # same pattern as validate.py / export.py — lets the CLI be driven on CPU.
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
 
     enable_compile_cache(args.compile_cache or None)
     # Fail loudly (one JSON error line, rc=17) instead of hanging forever if the

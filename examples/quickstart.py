@@ -16,11 +16,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-if os.environ.get("JAX_PLATFORMS"):
-    try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
+from recnext_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
 
 from recnext_tpu import create_model, fuse_params
 from recnext_tpu.export import export_stablehlo, load_published, publish_fused

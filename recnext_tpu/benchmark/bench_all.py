@@ -18,15 +18,10 @@ def main(argv=None):
 
     import bench as bench_mod  # repo-root bench.py
 
-    # honor an explicit JAX_PLATFORMS over the site hook's TPU pin (bench.py
-    # pattern); without this a CPU-intended sweep claims the single-client chip
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            import jax
+    # without this a CPU-intended sweep claims the single-client chip
+    from recnext_tpu.utils.platform import honor_env_platform
 
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    honor_env_platform()
 
     p = argparse.ArgumentParser()
     p.add_argument("--models", nargs="+", default=["recnext_m0", "recnext_m1"])
@@ -51,8 +46,10 @@ def main(argv=None):
 
     rows = []
     if args.resume and Path(args.out).exists():
+        # keep EVERY prior row (a subset --models retry must not drop other
+        # models' measured rows); drop only errored rows we are about to retry
         rows = [r for r in json.loads(Path(args.out).read_text())
-                if r["model"] in args.models and "error" not in r]
+                if not (r["model"] in args.models and "error" in r)]
     done = {r["model"] for r in rows}
     for name in args.models:
         if name in done:
@@ -77,7 +74,10 @@ def main(argv=None):
             row["error"] = f"{type(e).__name__}: {e}"[:300]
         rows.append(row)
         print(json.dumps(row), flush=True)
-        Path(args.out).write_text(json.dumps(rows, indent=2))
+        # atomic flush: a kill mid-write must not corrupt the resume file
+        tmp = Path(args.out).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(rows, indent=2))
+        os.replace(tmp, args.out)
     return rows
 
 

@@ -84,15 +84,11 @@ def task_flops(task: str, backbone: str, input_size: int,
 
 
 def main():
-    import os
 
-    import jax
 
-    if os.environ.get("JAX_PLATFORMS"):  # honor explicit platform over site default
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
 
     import argparse
     import json

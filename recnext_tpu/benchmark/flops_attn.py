@@ -58,13 +58,10 @@ def analyze(dim: int, num_heads: int, resolution: int, seed: int = 0) -> dict:
 
 
 def main(argv=None):
-    import os
 
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     ok = True
     for dim, num_heads, resolution in COMBOS:
         rec = analyze(dim, num_heads, resolution)

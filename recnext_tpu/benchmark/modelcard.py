@@ -85,17 +85,13 @@ def make_card(model_name: str, throughput: float | None = None,
 
 
 def main(argv=None):
-    import os
 
-    import jax
 
     # honor an explicit JAX_PLATFORMS over any site default (the cost analysis
     # must not claim the single-client TPU just to count MACs on CPU)
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--model", help="one variant (or use --all)")
     p.add_argument("--all", action="store_true",

@@ -36,15 +36,11 @@ def similarity(a: np.ndarray, b: np.ndarray) -> dict:
 
 
 def main(argv=None):
-    import os
 
-    import jax
 
-    if os.environ.get("JAX_PLATFORMS"):  # honor explicit platform over site default
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
 
     p = argparse.ArgumentParser()
     p.add_argument("--resolution", type=int, default=16)

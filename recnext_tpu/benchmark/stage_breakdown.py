@@ -18,13 +18,10 @@ from recnext_tpu.benchmark.micro import timeit
 
 
 def main(argv=None):
-    import os
 
-    if os.environ.get("JAX_PLATFORMS"):
-        try:  # honor the env var even when a site hook pre-pinned another platform
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="recnext_m1")
     p.add_argument("--batch", type=int, default=256)

@@ -60,10 +60,10 @@ def main(argv=None):
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     args = p.parse_args(argv)
 
-    import os
 
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
 
     import optax
 

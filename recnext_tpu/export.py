@@ -42,6 +42,20 @@ def publish_fused(model_name: str, variables: Dict[str, Any], out_path: str) -> 
     return f
 
 
+def resolve_published_path(model_name: str, path: str) -> Path:
+    """Resolve an archive dir (or direct file path) to the published msgpack,
+    falling back to the newest sha-stamped artifact (publish_model.py role)."""
+    p = Path(path)
+    if p.is_dir():
+        f = p / f"{model_name}_fused.msgpack"
+        if not f.exists():
+            stamped = sorted(p.glob(f"{model_name}_fused-*.msgpack"))
+            if stamped:
+                f = stamped[-1]
+        p = f
+    return p
+
+
 def load_published(model_name: str, path: str) -> Dict[str, Any]:
     """Restore published fused params for create_model(model_name, fused=True)."""
     from flax import serialization
@@ -49,14 +63,7 @@ def load_published(model_name: str, path: str) -> Dict[str, Any]:
     model = create_model(model_name, fused=True)
     x = jnp.zeros((1, 224, 224, 3), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), x)
-    p = Path(path)
-    if p.is_dir():
-        f = p / f"{model_name}_fused.msgpack"
-        if not f.exists():  # sha-stamped artifact (publish_model.py role)
-            stamped = sorted(p.glob(f"{model_name}_fused-*.msgpack"))
-            if stamped:
-                f = stamped[-1]
-        p = f
+    p = resolve_published_path(model_name, path)
     return serialization.from_bytes(template, p.read_bytes())
 
 
@@ -122,11 +129,9 @@ def main():
     import os
 
     # honor an explicit JAX_PLATFORMS over the site hook's pin (validate.py pattern)
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
 
     p = argparse.ArgumentParser("publish / export a model")
     p.add_argument("--model", required=True)

@@ -74,9 +74,10 @@ class ServingModel:
                              **(cfg_overrides or {}))
         x0 = jnp.zeros((1, self.input_size, self.input_size, 3), dtype)
         template = model.init(jax.random.PRNGKey(0), x0)
-        p = Path(archive)
-        if p.is_dir():
-            p = p / f"{model_name}_fused.msgpack"
+        from recnext_tpu.export import resolve_published_path
+
+        # shared resolution incl. the sha-stamped artifact fallback
+        p = resolve_published_path(model_name, archive)
         self.variables = serialization.from_bytes(template, p.read_bytes())
 
         if packed is None:
@@ -265,11 +266,9 @@ def main(argv=None):
 
     # the site hook pins jax_platforms at interpreter start; honor an explicit
     # JAX_PLATFORMS from the command line (same pattern as validate.py)
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
 
     p = argparse.ArgumentParser("recnext_tpu model server")
     p.add_argument("--archive", required=True,
@@ -292,7 +291,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from recnext_tpu.utils.cache import enable_compile_cache
+    from recnext_tpu.utils.watchdog import require_devices
+
     enable_compile_cache(args.compile_cache or None)
+    # fail with rc=17 + a JSON error line instead of hanging forever when the
+    # tunnel is down (same contract as bench.py; utils/watchdog.py)
+    require_devices(metric=f"serve_{args.model}_device_init")
 
     model = ServingModel(args.archive, args.model, max_batch=args.max_batch,
                          input_size=args.input_size,

@@ -96,11 +96,9 @@ def main(argv=None):
     p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
     args = p.parse_args(argv)
 
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     from recnext_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache(getattr(args, "compile_cache", None) or None)

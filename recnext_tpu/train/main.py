@@ -140,11 +140,9 @@ def main(argv=None):
     # honor JAX_PLATFORMS even when a site hook pre-pinned another platform
     import os
 
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     from recnext_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache(getattr(args, "compile_cache", None) or None)
@@ -338,11 +336,14 @@ def main(argv=None):
     n_proc = jax.process_count()
     local_devices = max(n_dev // n_proc, 1)
 
-    def run_eval(eval_fn=None):
+    def run_evals(*eval_fns):
         """Eval split strided by process; correct/loss/count are summed INSIDE the
-        jitted step (global psum), so every process reads identical totals."""
-        eval_fn = eval_fn or jitted_eval
-        tot = {"correct1": 0, "correct5": 0, "count": 0, "loss_sum": 0.0}
+        jitted step (global psum), so every process reads identical totals.
+        Multiple eval fns (raw + EMA weights) score each decoded batch in ONE
+        pass — host-side decode gates eval wall time on small hosts, so the
+        split must not be re-decoded per weight set."""
+        tots = [{"correct1": 0, "correct5": 0, "count": 0, "loss_sum": 0.0}
+                for _ in eval_fns]
         loader = eval_loader(val_ds, EvalTransform(args.input_size),
                              batch_size=max(args.batch_size // n_proc, 1),
                              rank=jax.process_index(), num_replicas=n_proc,
@@ -358,15 +359,19 @@ def main(argv=None):
                     "image": np.concatenate([batch["image"], pad_img]),
                     "label": np.concatenate([batch["label"], np.full((pad,), -1, np.int32)]),
                 }
-            m = eval_fn(state, put_batch(batch, b_sh))
-            tot["correct1"] += int(m["correct1"])
-            tot["correct5"] += int(m["correct5"])
-            tot["loss_sum"] += float(m["loss_sum"])
-            tot["count"] += int(m["count"])
-        acc1 = 100.0 * tot["correct1"] / max(tot["count"], 1)
-        acc5 = 100.0 * tot["correct5"] / max(tot["count"], 1)
-        test_loss = tot["loss_sum"] / max(tot["count"], 1)
-        return acc1, acc5, test_loss
+            dev_batch = put_batch(batch, b_sh)
+            for tot, eval_fn in zip(tots, eval_fns):
+                m = eval_fn(state, dev_batch)
+                tot["correct1"] += int(m["correct1"])
+                tot["correct5"] += int(m["correct5"])
+                tot["loss_sum"] += float(m["loss_sum"])
+                tot["count"] += int(m["count"])
+        return [(100.0 * t["correct1"] / max(t["count"], 1),
+                 100.0 * t["correct5"] / max(t["count"], 1),
+                 t["loss_sum"] / max(t["count"], 1)) for t in tots]
+
+    def run_eval():
+        return run_evals(jitted_eval)[0]
 
     if args.eval:
         acc1, acc5, test_loss = run_eval()
@@ -431,11 +436,14 @@ def main(argv=None):
         if not np.isfinite(train_loss):
             raise SystemExit(f"Loss is {train_loss}, stopping training")
 
-        acc1, acc5, test_loss = run_eval()
         ema_stats = {}
         if jitted_eval_ema is not None:
-            ema_acc1, ema_acc5, _ = run_eval(jitted_eval_ema)
+            # one decode pass scores both weight sets
+            (acc1, acc5, test_loss), (ema_acc1, ema_acc5, _) = run_evals(
+                jitted_eval, jitted_eval_ema)
             ema_stats = {"ema_test_acc1": ema_acc1, "ema_test_acc5": ema_acc5}
+        else:
+            acc1, acc5, test_loss = run_eval()
         max_acc = max(max_acc, acc1)
         lr_now = float(sched(int(np.asarray(jax.device_get(state.step)))))
         # per-epoch keys match the reference's committed logs exactly

@@ -82,9 +82,14 @@ class RealLabels:
         self._scored = 0
         self._idx = 0
 
-    def add_results(self, logits: np.ndarray):
+    def add_results(self, logits: np.ndarray, col_map=None):
+        """`col_map` maps logit-column indices back to original class ids when
+        the logits were sliced to a --valid-labels subset; real.json labels are
+        always in the original class space."""
         maxk = max(self._topk)
         preds = np.argsort(logits, axis=-1)[:, : -maxk - 1 : -1]
+        if col_map is not None:
+            preds = np.asarray(col_map)[preds]
         for pred in preds:
             labels = self._labels.get(self._filenames[self._idx])
             if labels:
@@ -129,11 +134,9 @@ def load_variables(args, model, fused_model):
 
 def main(argv=None):
     args = parse_args(argv)
-    if os.environ.get("JAX_PLATFORMS"):
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     from recnext_tpu.data.datasets import build_dataset
     from recnext_tpu.data.loader import eval_loader
     from recnext_tpu.data.transforms import EvalTransform
@@ -224,7 +227,7 @@ def main(argv=None):
         if valid_cols is not None:
             logits = logits[:, valid_cols]
         if real is not None:
-            real.add_results(logits)
+            real.add_results(logits, col_map=valid_cols)
         top5 = np.argsort(logits, axis=-1)[:, -5:]
         labels = batch["label"]
         c1 += int((top5[:, -1] == labels).sum())

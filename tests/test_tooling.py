@@ -229,6 +229,28 @@ def test_real_labels_list_format():
     assert rl.accuracy(5) == 100.0
 
 
+def test_real_labels_col_map(tmp_path):
+    """--valid-labels + --real-labels: argmax indices live in the sliced-column
+    space and must be mapped back to original class ids before the real.json
+    lookup (real.json is always original-space)."""
+    from recnext_tpu.validate import RealLabels
+
+    path = tmp_path / "real.json"
+    path.write_text(json.dumps({"a.JPEG": [600]}))
+    valid_cols = np.array([500, 600, 700])
+    logits = np.zeros((1, 3), np.float32)
+    logits[0, 1] = 1.0  # subset index 1 == original class 600
+
+    rl = RealLabels(["a.JPEG"], str(path), topk=(1,))
+    rl.add_results(logits, col_map=valid_cols)
+    assert rl.accuracy(1) == 100.0
+
+    # without the map the raw subset index (1) never matches class 600
+    rl2 = RealLabels(["a.JPEG"], str(path), topk=(1,))
+    rl2.add_results(logits)
+    assert rl2.accuracy(1) == 0.0
+
+
 def test_validate_valid_labels(tmp_path):
     """--valid-labels with the identity subset must reproduce the unfiltered
     result (plumbing check; semantics are a column-subset before scoring)."""
@@ -377,3 +399,11 @@ def test_bench_all_resume_and_error_capture(tmp_path, monkeypatch):
     assert calls == ["recnext_m1"]
     assert {r["model"] for r in rows2} == {"recnext_m0", "recnext_m1"}
     assert all("error" not in r for r in rows2)
+
+    # a subset --models retry must NOT drop other models' measured rows
+    calls.clear()
+    rows3 = bench_all.main(["--models", "recnext_m0", "--resume",
+                            "--out", str(out)])
+    assert calls == []  # m0 already measured, nothing re-run
+    assert {r["model"] for r in rows3} == {"recnext_m0", "recnext_m1"}
+    assert json.loads(out.read_text()) == rows3
