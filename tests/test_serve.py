@@ -122,3 +122,30 @@ def test_bad_image_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
+
+
+def test_serving_model_loads_sha_stamped_archive(archive, tmp_path):
+    """A --sha-stamp published archive (recnext_m0_fused-<sha8>.msgpack, no
+    unstamped file) must load through the same resolve_published_path fallback
+    export.load_published uses."""
+    import shutil
+    from pathlib import Path
+
+    from recnext_tpu.export import sha_stamp
+
+    stamped_dir = tmp_path / "stamped"
+    stamped_dir.mkdir()
+    src = Path(archive) / "recnext_m0_fused.msgpack"
+    dst = stamped_dir / src.name
+    shutil.copy(src, dst)
+    shutil.copy(Path(archive) / "recnext_m0_meta.json",
+                stamped_dir / "recnext_m0_meta.json")
+    sha_stamp(dst)  # renames to recnext_m0_fused-<sha8>.msgpack
+    assert not dst.exists()
+
+    m = ServingModel(str(stamped_dir), "recnext_m0", max_batch=2,
+                     input_size=SIZE, dtype=jnp.float32, cfg_overrides=OVR)
+    x = np.zeros((1, SIZE, SIZE, 3), np.float32)
+    probs = m.predict(x)
+    assert probs.shape == (1, 11)
+    np.testing.assert_allclose(probs.sum(), 1.0, atol=1e-5)

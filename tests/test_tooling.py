@@ -407,3 +407,29 @@ def test_bench_all_resume_and_error_capture(tmp_path, monkeypatch):
     assert calls == []  # m0 already measured, nothing re-run
     assert {r["model"] for r in rows3} == {"recnext_m0", "recnext_m1"}
     assert json.loads(out.read_text()) == rows3
+
+
+def test_merge_results_best_of_batch(tmp_path):
+    """merge_results: higher-throughput row wins per model, batch-1 latency is
+    carried across inputs, error rows are dropped, order follows first file."""
+    from recnext_tpu.benchmark.merge_results import main as merge_main, markdown_table
+
+    a = [{"model": "recnext_m0", "images_per_sec": 14000.0, "batch": 256,
+          "rtx3090_baseline": 750, "vs_baseline": 18.7, "batch1_device_ms": 0.21},
+         {"model": "recnext_m1", "images_per_sec": 9400.0, "batch": 256,
+          "rtx3090_baseline": 384, "vs_baseline": 24.5, "batch1_device_ms": 0.3}]
+    b = [{"model": "recnext_m0", "images_per_sec": 14800.0, "batch": 512,
+          "rtx3090_baseline": 750, "vs_baseline": 19.7},
+         {"model": "recnext_m1", "error": "RuntimeError: boom"}]
+    fa, fb = tmp_path / "a.json", tmp_path / "b.json"
+    fa.write_text(json.dumps(a)); fb.write_text(json.dumps(b))
+    out = tmp_path / "merged.json"
+    rows = merge_main([str(fa), str(fb), "--out", str(out)])
+
+    assert [r["model"] for r in rows] == ["recnext_m0", "recnext_m1"]
+    m0, m1 = rows
+    assert m0["images_per_sec"] == 14800.0 and m0["batch"] == 512
+    assert m0["batch1_device_ms"] == 0.21  # carried from the 256 pass
+    assert m1["images_per_sec"] == 9400.0  # error row dropped, 256 row kept
+    table = markdown_table(rows)
+    assert "| recnext_m0 | 14800 | 750 | 19.7x | 0.21 |" in table
