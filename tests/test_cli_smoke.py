@@ -73,15 +73,18 @@ def test_train_det_cli_coco_folder(tmp_path):
 def test_train_main_cli_smoke(tmp_path):
     from recnext_tpu.train.main import main
 
+    # default EMA stays ON: the same run covers the single-pass raw+EMA eval
+    # (timm --model-ema-eval counterpart) without a second train compile
     res = main(["--model", "recnext_m0", "--data-set", "FAKE", "--fake-classes", "8",
                 "--epochs", "1", "--batch-size", "8", "--input-size", "32",
-                "--steps-per-epoch", "2", "--simple-aug", "--no-model-ema",
+                "--steps-per-epoch", "2", "--simple-aug",
                 "--output-dir", str(tmp_path)])
     assert "max_acc" in res
     assert (tmp_path / "summary.csv").exists() and (tmp_path / "args.yaml").exists()
     rec = json.loads((tmp_path / "log.txt").read_text().strip().splitlines()[-1])
     # reference per-epoch log keys (logs/normal/*.txt) for log-replay validation
-    assert {"train_lr", "train_loss", "test_loss", "test_acc1", "test_acc5"} <= set(rec)
+    assert {"train_lr", "train_loss", "test_loss", "test_acc1", "test_acc5",
+            "ema_test_acc1", "ema_test_acc5"} <= set(rec)
 
 
 def test_train_main_cli_grain_loader(tmp_path):
