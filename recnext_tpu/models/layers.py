@@ -30,6 +30,32 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+# Frozen-BN marker (detection/recnext.py:266-272 train(): ONLY BatchNorm modules
+# are .eval()-ed while DropPath/dropout stay active). RecNext sets this around
+# its forward from cfg.frozen_stats; BatchNorm consults it so the flag doesn't
+# have to be threaded through every intermediate module's call signature. It is
+# read at TRACE time only and is set deterministically from a static module
+# field, so jit caching (keyed on the module config) stays sound.
+import contextvars as _contextvars
+
+_FROZEN_BN = _contextvars.ContextVar("recnext_frozen_bn", default=False)
+
+
+class frozen_bn_scope:
+    """Context manager: BatchNorm layers inside use running stats even when
+    called with training=True (and write no batch_stats updates)."""
+
+    def __init__(self, frozen: bool):
+        self._frozen = bool(frozen)
+
+    def __enter__(self):
+        self._token = _FROZEN_BN.set(self._frozen)
+
+    def __exit__(self, *exc):
+        _FROZEN_BN.reset(self._token)
+        return False
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with PyTorch-exact semantics.
 
@@ -52,10 +78,15 @@ class BatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32))
 
         xf = x.astype(jnp.float32)
+        if training and _FROZEN_BN.get():
+            training = False  # frozen-BN mode: running stats, no updates
         if training:
             red = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=red)
-            var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+            # two-pass (torch-style) variance: E[(x-mean)^2] cannot go negative,
+            # unlike E[x^2]-E[x]^2 whose fp32 cancellation can NaN the rsqrt
+            # when |mean| >> std
+            var = jnp.mean(jnp.square(xf - mean), axis=red)
             if not self.is_initializing():
                 n = 1
                 for a in red:

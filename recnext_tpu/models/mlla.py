@@ -300,6 +300,7 @@ MLLA_CONFIGS = {
 
 
 def create_mlla(name: str, **overrides) -> MLLA:
+    # dtype is a module field, not an MLLAConfig field — pop it BEFORE replace
+    dtype = overrides.pop("dtype", jnp.float32)
     cfg = dataclasses.replace(MLLA_CONFIGS[name], **overrides)
-    dtype = overrides.pop("dtype", jnp.float32) if "dtype" in overrides else jnp.float32
     return MLLA(cfg=cfg, dtype=dtype)

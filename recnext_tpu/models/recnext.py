@@ -36,6 +36,7 @@ from recnext_tpu.models.layers import (
     Mlp,
     NormLinear,
     RepVGGDW,
+    frozen_bn_scope,
     gelu,
 )
 from recnext_tpu.models.mixers import (
@@ -408,32 +409,35 @@ class RecNext(nn.Module):
         self.classifier = RecNextClassifier(
             cfg.num_classes,
             distillation=cfg.distillation,
+            drop=cfg.drop_rate,
             fused=self.fused,
             dtype=self.dtype,
             name="head",
         )
 
-    def _bn_training(self, training: bool) -> bool:
-        return training and not self.frozen_stats
-
     def features(self, x: jnp.ndarray, training: bool = False):
-        """Multi-scale pyramid [C2, C3, C4, C5] (detection/recnext.py:213-219)."""
-        t = self._bn_training(training)
-        x = self.stem(x, training=t)
-        outs = []
-        for ds, blocks in zip(self.downsamples, self.stage_blocks):
-            if ds is not None:
-                x = ds(x, training=t)
-            x1s: list = []
-            for blk in blocks:
-                if getattr(blk, "share", "off") != "off":
-                    x = blk(x, training=t, x1s=x1s)
-                    if blk.share == "share":
-                        x1s.clear()
-                else:
-                    x = blk(x, training=t)
-            outs.append(x)
-        return outs
+        """Multi-scale pyramid [C2, C3, C4, C5] (detection/recnext.py:213-219).
+
+        frozen_stats freezes ONLY BatchNorm (running stats, no updates) via
+        frozen_bn_scope — DropPath/dropout stay governed by `training`, matching
+        the reference's frozen-BN train() which .eval()s only BN modules
+        (detection/recnext.py:266-272)."""
+        with frozen_bn_scope(self.frozen_stats):
+            x = self.stem(x, training=training)
+            outs = []
+            for ds, blocks in zip(self.downsamples, self.stage_blocks):
+                if ds is not None:
+                    x = ds(x, training=training)
+                x1s: list = []
+                for blk in blocks:
+                    if getattr(blk, "share", "off") != "off":
+                        x = blk(x, training=training, x1s=x1s)
+                        if blk.share == "share":
+                            x1s.clear()
+                    else:
+                        x = blk(x, training=training)
+                outs.append(x)
+            return outs
 
     def forward_features(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         return self.features(x, training=training)[-1]
@@ -441,4 +445,5 @@ class RecNext(nn.Module):
     def __call__(self, x: jnp.ndarray, training: bool = False):
         x = self.forward_features(x, training=training)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
-        return self.classifier(x, training=self._bn_training(training))
+        with frozen_bn_scope(self.frozen_stats):
+            return self.classifier(x, training=training)

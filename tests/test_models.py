@@ -279,6 +279,50 @@ def test_frozen_stats_mode():
     assert all(np.allclose(b, a) for b, a in zip(before, after))
 
 
+def test_frozen_stats_keeps_stochastic_depth_active():
+    """frozen_stats freezes ONLY BatchNorm — DropPath must stay governed by
+    `training`, like the reference frozen-BN train() which .eval()s only BN
+    modules (detection/recnext.py:266-272)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL["m"], drop_path=0.5)
+    fm = RecNext(cfg=cfg, frozen_stats=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    variables = fm.init(jax.random.PRNGKey(0), x)
+    outs = [fm.apply(variables, x, training=True, mutable=["batch_stats"],
+                     rngs={"droppath": jax.random.PRNGKey(s)})[0]
+            for s in (1, 2)]
+    y1 = outs[0][0] if isinstance(outs[0], tuple) else outs[0]
+    y2 = outs[1][0] if isinstance(outs[1], tuple) else outs[1]
+    assert not np.allclose(np.asarray(y1), np.asarray(y2)), \
+        "DropPath inert under frozen_stats"
+
+
+def test_head_drop_rate_is_consumed():
+    """cfg.drop_rate applies dropout before the classifier heads in training
+    (reference model/recnext.py:260-269 nn.Dropout(drop_rate))."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL["m"], drop_rate=0.5)
+    fm = RecNext(cfg=cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    variables = fm.init(jax.random.PRNGKey(0), x)
+    outs = [fm.apply(variables, x, training=True, mutable=["batch_stats"],
+                     rngs={"droppath": jax.random.PRNGKey(9),
+                           "dropout": jax.random.PRNGKey(s)})[0]
+            for s in (1, 2)]
+    y1 = outs[0][0] if isinstance(outs[0], tuple) else outs[0]
+    y2 = outs[1][0] if isinstance(outs[1], tuple) else outs[1]
+    assert not np.allclose(np.asarray(y1), np.asarray(y2)), \
+        "head dropout ignores cfg.drop_rate"
+    # eval path is deterministic and drop-free
+    e1 = fm.apply(variables, x, training=False)
+    e2 = fm.apply(variables, x, training=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
 @pytest.mark.parametrize("family", ["m", "a"])
 def test_torch_fused_import_through_packed_executor(family):
     """The published-fused-checkpoint import feeds the lane-packed executor
