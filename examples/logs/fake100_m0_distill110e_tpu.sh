@@ -1,6 +1,13 @@
 # Round-3 long-horizon composed-recipe run (VERDICT item 5). Three legs:
 # leg 1 (epochs 0-35, --eval-ema, ema decay 0.999) then SIGKILL; resume legs
 # below. Log: examples/logs/fake100_m0_distill110e_tpu.log
+#
+# NOTE (schedule semantics changed after this run): these legs ran under the
+# older cosine_schedule where --cooldown-epochs was carved OUT of --epochs
+# (110 total = cosine over 100 + 10 flat). The current timm-exact schedule
+# appends cooldown INSTEAD; the equivalent invocation today is
+# --epochs 100 --cooldown-epochs 10 (same 110-epoch trajectory, plus the
+# reference's one-epoch step() lag — see train/optim.py:cosine_schedule).
 #!/bin/sh
 # Round-3 VERDICT item 5: long-horizon composed recipe (110 epochs, FAKE-100,
 # hard distillation from the trained RegNetY-160 teacher, EMA + per-epoch EMA

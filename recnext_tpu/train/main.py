@@ -4,7 +4,8 @@
 * ONE jitted train step over a ("data","fsdp") mesh (no DDP wrapper, no loss scaler);
   bf16 compute / fp32 params by default.
 * RepViT/DeiT recipe defaults: AdamW lr 1e-3 x batch/512, wd 0.025, AGC clip 0.02,
-  cosine 300 epochs + 5 warmup + 10 cooldown, mixup/cutmix, label smoothing 0.1,
+  cosine over the full 300 epochs + 5 warmup (reference-log-exact; --cooldown-epochs
+  appends extra min_lr epochs), mixup/cutmix, label smoothing 0.1,
   RandAugment, EMA 0.99996, hard distillation (dual head).
 * orbax checkpointing of the full TrainState (keeps last 3 + best, like
   main.py:419-447), per-epoch JSONL log with the reference's key names so the
@@ -46,7 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--weight-decay", type=float, default=0.025)
     p.add_argument("--clip-grad", type=float, default=0.02, help="AGC clip factor")
     p.add_argument("--warmup-epochs", type=int, default=5)
-    p.add_argument("--cooldown-epochs", type=int, default=10)
+    p.add_argument("--cooldown-epochs", type=int, default=0,
+                   help="EXTRA epochs at min_lr appended after the cosine cycle "
+                        "(timm num_epochs convention). The reference defaults "
+                        "this to 10 but its loop discards the extension "
+                        "(main.py:400), so de-facto reference behavior is 0.")
     p.add_argument("--warmup-lr", type=float, default=1e-6)
     p.add_argument("--min-lr", type=float, default=1e-5)
     # augmentation
@@ -132,7 +137,7 @@ def parse_args(argv=None):
         if unknown:
             raise SystemExit(f"unknown config keys: {sorted(unknown)}")
         p.set_defaults(**defaults)
-    return p.parse_args(remaining if argv is None else remaining)
+    return p.parse_args(remaining)
 
 
 def main(argv=None):
@@ -230,7 +235,13 @@ def main(argv=None):
     lr = scaled_lr(args.lr, args.batch_size)
     sched = cosine_schedule(lr, steps_per_epoch, args.epochs, args.warmup_epochs,
                             args.cooldown_epochs, args.warmup_lr, args.min_lr)
-    tx = make_optimizer(sched, args.weight_decay, args.clip_grad,
+    # under optax.MultiSteps the inner schedule advances once per k micro-steps,
+    # so the optimizer's copy must count UPDATES per epoch, not micro-steps —
+    # otherwise the applied schedule runs k times too slowly
+    sched_opt = sched if args.grad_accum <= 1 else cosine_schedule(
+        lr, max(steps_per_epoch // args.grad_accum, 1), args.epochs,
+        args.warmup_epochs, args.cooldown_epochs, args.warmup_lr, args.min_lr)
+    tx = make_optimizer(sched_opt, args.weight_decay, args.clip_grad,
                         grad_accum=args.grad_accum)
     state = TrainState.create(variables, tx, ema=not args.no_model_ema)
 
@@ -290,6 +301,7 @@ def main(argv=None):
                           cutmix_alpha=max(args.cutmix, 1e-8),
                           switch_prob=switch_prob),
         smoothing=args.smoothing, ema_decay=args.model_ema_decay, remat=args.remat,
+        grad_accum=args.grad_accum,
     )
     eval_step = make_eval_step(model, ema=args.eval_ema)
 
@@ -387,7 +399,7 @@ def main(argv=None):
         tt = TrainTransform(args.input_size, three_augment=args.ThreeAugment,
                             ra_magnitude=args.aa_magnitude, jitter=args.color_jitter,
                             reprob=args.reprob)
-    for epoch in range(start_epoch, args.epochs):
+    for epoch in range(start_epoch, args.epochs + args.cooldown_epochs):
         t0 = time.time()
         if args.loader == "grain":
             from recnext_tpu.data.grain_loader import build_grain_loader
@@ -445,7 +457,10 @@ def main(argv=None):
         else:
             acc1, acc5, test_loss = run_eval()
         max_acc = max(max_acc, acc1)
-        lr_now = float(sched(int(np.asarray(jax.device_get(state.step)))))
+        # log the lr the optimizer ACTUALLY applied: under grad-accum the inner
+        # schedule is stepped by update count (micro-steps // k)
+        lr_now = float(sched_opt(
+            int(np.asarray(jax.device_get(state.step))) // args.grad_accum))
         # per-epoch keys match the reference's committed logs exactly
         # (logs/normal/recnext_m1_without_distill_300e.txt:1 —
         #  train_lr/train_loss/test_loss/test_acc1/test_acc5)

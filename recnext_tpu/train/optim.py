@@ -1,8 +1,9 @@
 """Optimizer + LR schedule, matching the reference recipe.
 
 Reference: timm create_optimizer (AdamW, lr 1e-3 x total_batch/512, wd 0.025,
-/root/reference/main.py:52-91,318-323) + cosine schedule (5 warmup epochs from 1e-6,
-10 cooldown epochs at min_lr, 300 epochs, min_lr 1e-5) and AGC gradient clipping
+/root/reference/main.py:52-91,318-323) + cosine schedule (5 warmup epochs from
+1e-6, cosine over the FULL 300 epochs, min_lr 1e-5 — see cosine_schedule for the
+reference's de-facto cooldown/stepping semantics) and AGC gradient clipping
 (clip=0.02, /root/reference/main.py:58-61, applied by NativeScaler in engine.py:63-64).
 
 timm's no-weight-decay rule: 1-D params (BN scales/biases, all biases) get wd=0.
@@ -27,24 +28,33 @@ def cosine_schedule(
     steps_per_epoch: int,
     epochs: int = 300,
     warmup_epochs: int = 5,
-    cooldown_epochs: int = 10,
+    cooldown_epochs: int = 0,
     warmup_lr: float = 1e-6,
     min_lr: float = 1e-5,
 ):
-    """timm CosineLRScheduler equivalent: per-epoch cosine with linear warmup and a
-    flat min_lr cooldown tail. The reference steps the schedule per epoch
-    (main.py:413); we return a per-step schedule that is piecewise-constant over
-    epochs to match exactly."""
+    """timm CosineLRScheduler exactly as the reference RUNS it (not as its arg
+    names suggest): the cosine spans the FULL `epochs` (t_initial = epochs,
+    main.py:323), `cooldown_epochs` means EXTRA epochs at min_lr appended AFTER
+    the cycle (timm's num_epochs convention — the reference loop main.py:400
+    discards that extension, so its de-facto cooldown is 0), and because the
+    reference calls lr_scheduler.step(epoch) with the just-FINISHED epoch index
+    (main.py:413; timm's train script passes epoch+1), the lr used during epoch
+    e is the schedule at t = max(e-1, 0).
+
+    Verified value-exact against the committed reference log
+    logs/normal/recnext_m1_without_distill_300e.txt (base 2e-3: epoch 4 →
+    1.2004e-3 [warmup t=3], epoch 150 → 1.01542e-3 [cosine t=149], epoch 290 →
+    1.65941e-5, epoch 299 → 1.02182e-5). Per-step piecewise-constant over
+    epochs, like the reference's per-epoch stepping."""
 
     def sched(step):
         epoch = step // steps_per_epoch
-        cosine_epochs = max(epochs - cooldown_epochs, 1)
-
-        warm = warmup_lr + (base_lr - warmup_lr) * (epoch / max(warmup_epochs, 1))
-        t = (epoch - warmup_epochs) / max(cosine_epochs - warmup_epochs, 1)
-        cos = min_lr + 0.5 * (base_lr - min_lr) * (1.0 + jnp.cos(jnp.pi * t))
-        lr = jnp.where(epoch < warmup_epochs, warm, jnp.where(epoch < cosine_epochs, cos, min_lr))
-        return lr
+        t = jnp.maximum(epoch - 1, 0)  # the reference's one-epoch step() lag
+        warm = warmup_lr + (base_lr - warmup_lr) * (t / max(warmup_epochs, 1))
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (
+            1.0 + jnp.cos(jnp.pi * t / max(epochs, 1)))
+        return jnp.where(t < warmup_epochs, warm,
+                         jnp.where(t < epochs, cos, min_lr))
 
     return sched
 

@@ -37,6 +37,7 @@ def make_train_step(
     remat: bool = False,
     jsd_splits: int = 0,
     jsd_alpha: float = 12.0,
+    grad_accum: int = 1,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -101,13 +102,20 @@ def make_train_step(
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # EMA once per OPTIMIZER update (timm ModelEma, utils.py:155-162): under
+        # optax.MultiSteps params only change on the k-th micro-step, and
+        # decaying every micro-step would shrink the EMA horizon k-fold
+        decay = ema_decay
+        if grad_accum > 1:
+            applied = (state.step % grad_accum) == (grad_accum - 1)
+            decay = jnp.where(applied, ema_decay, 1.0)
         state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
-            ema_params=ema_update(state.ema_params, new_params, ema_decay),
-            ema_batch_stats=ema_update(state.ema_batch_stats, new_stats, ema_decay),
+            ema_params=ema_update(state.ema_params, new_params, decay),
+            ema_batch_stats=ema_update(state.ema_batch_stats, new_stats, decay),
         )
         gnorm = optax.global_norm(grads)
         return state, {"loss": loss, "grad_norm": gnorm}

@@ -65,14 +65,24 @@ def test_soft_target_ce_matches_smoothing_ce():
     np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
 
 
-def test_cosine_schedule_shape():
-    sched = cosine_schedule(1e-3, steps_per_epoch=10, epochs=300, warmup_epochs=5,
-                            cooldown_epochs=10, warmup_lr=1e-6, min_lr=1e-5)
-    assert float(sched(0)) == pytest.approx(1e-6)
-    assert float(sched(5 * 10)) == pytest.approx(1e-3, rel=1e-6)  # end of warmup
-    assert float(sched(299 * 10)) == pytest.approx(1e-5)  # cooldown tail
-    mid = float(sched(150 * 10))
-    assert 1e-5 < mid < 1e-3
+def test_cosine_schedule_matches_reference_log():
+    """Value-exact against the committed reference log (base lr 2e-3,
+    logs/normal/recnext_m1_without_distill_300e.txt): cosine spans the full 300
+    epochs and the lr used during epoch e is the schedule at t=max(e-1,0) — the
+    reference's lr_scheduler.step(epoch) lag (main.py:413)."""
+    sched = cosine_schedule(2e-3, steps_per_epoch=10, epochs=300, warmup_epochs=5,
+                            cooldown_epochs=0, warmup_lr=1e-6, min_lr=1e-5)
+    log = {0: 1e-6, 1: 1e-6,  # epochs 0 AND 1 run at warmup_lr_init (the lag)
+           4: 1.2004e-3, 5: 1.6002e-3,
+           150: 1.0154194251956726e-3,
+           290: 1.659409822760516e-5,
+           299: 1.0218219942528799e-5}
+    for epoch, want in log.items():
+        assert float(sched(epoch * 10)) == pytest.approx(want, rel=1e-3), epoch
+    # cooldown epochs are EXTRA epochs, flat at min_lr, after the cycle
+    sched2 = cosine_schedule(2e-3, 10, epochs=300, warmup_epochs=5,
+                             cooldown_epochs=10)
+    assert float(sched2(305 * 10)) == pytest.approx(1e-5)
     assert scaled_lr(1e-3, 2048) == pytest.approx(4e-3)
 
 
@@ -158,23 +168,30 @@ def test_data_parallel_matches_single_device():
 
 
 def test_grad_accum_and_remat():
-    """MultiSteps: params only move every k micro-steps; remat step stays correct."""
+    """MultiSteps: params AND the EMA only move every k micro-steps (the EMA
+    horizon must not shrink k-fold); remat step stays correct."""
     model = RecNext(cfg=TINY)
     x0 = jnp.zeros((1, 32, 32, 3))
     variables = model.init(jax.random.PRNGKey(0), x0)
     tx = make_optimizer(1e-2, grad_accum=2)
-    state = TrainState.create(variables, tx, ema=False)
+    state = TrainState.create(variables, tx, ema=True)
     teacher = lambda xb: model.apply(variables, xb, training=False)
     step = jax.jit(make_train_step(model, tx, num_classes=8, teacher_apply=teacher,
-                                   distillation="hard", mixup=False, remat=True))
+                                   distillation="hard", mixup=False, remat=True,
+                                   ema_decay=0.5, grad_accum=2))
     batch = {"image": jnp.ones((4, 32, 32, 3)), "label": jnp.zeros((4,), jnp.int32)}
     p0 = jax.tree_util.tree_leaves(state.params)[0]
+    e0 = jax.tree_util.tree_leaves(state.ema_params)[0]
     state, m1 = step(state, batch, jax.random.PRNGKey(0))
     p1 = jax.tree_util.tree_leaves(state.params)[0]
+    e1 = jax.tree_util.tree_leaves(state.ema_params)[0]
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))  # accumulating
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))  # EMA gated too
     state, m2 = step(state, batch, jax.random.PRNGKey(0))
     p2 = jax.tree_util.tree_leaves(state.params)[0]
+    e2 = jax.tree_util.tree_leaves(state.ema_params)[0]
     assert not np.allclose(np.asarray(p1), np.asarray(p2))  # applied at k=2
+    assert not np.allclose(np.asarray(e1), np.asarray(e2))  # EMA follows the update
     assert np.isfinite(float(m2["loss"]))
 
 
