@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from recnext_tpu.models.layers import BatchNorm, Conv2d, DropPath, gelu
 from recnext_tpu.ops.attention import linear_attention_kv_first
-from recnext_tpu.ops.conv import depthwise_conv2d
+from recnext_tpu.ops.recconv import rec_conv2d
 from recnext_tpu.ops.resize import resize
 
 Dtype = Any
@@ -164,20 +164,13 @@ class MLLARecConvAgg(nn.Module):
         k = self.kernel_size
         init = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
         down_w = self.param("down_kernel", init, (k, k, 1, c), jnp.float32).astype(self.dtype)
-        conv_ws = [self.param(f"conv{i}_kernel", init, (k, k, 1, c), jnp.float32).astype(self.dtype)
-                   for i in range(self.level + 1)]
-        inp = x
-        feats = []
-        for _ in range(self.level):
-            x = depthwise_conv2d(x, down_w, stride=2, padding=k // 2)
-            feats.append(x)
-        acc = None
-        for lvl, f in enumerate(reversed(feats)):
-            h = f if acc is None else f + acc
-            h = depthwise_conv2d(h, conv_ws[lvl], stride=1, padding=k // 2)
-            acc = resize(h, (h.shape[1] * 2, h.shape[2] * 2), mode="nearest")
-        out = inp if acc is None else inp + acc
-        return depthwise_conv2d(out, conv_ws[self.level], stride=1, padding=k // 2)
+        conv_ws = tuple(
+            self.param(f"conv{i}_kernel", init, (k, k, 1, c), jnp.float32).astype(self.dtype)
+            for i in range(self.level + 1))
+        # the shared pyramid op: on even sizes the recorded-size nearest upsample
+        # equals the fixed x2 of mlla_recconv.py, so future rec_conv2d policy
+        # work (upsample forms, taps backward) applies here automatically
+        return rec_conv2d(x, down_w, conv_ws, level=self.level, mode="nearest")
 
 
 class MLLARecAttnAgg(nn.Module):
