@@ -39,23 +39,16 @@ def _unwrap(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
 _STEM = {"0": "conv1", "2": "conv2", "4": "conv3"}
 
 
-def _map_key(key: str) -> Tuple[Tuple[str, ...], str, str] | None:
-    """torch dotted key -> (flax path tuple, collection, transform).
-
-    transform in {"conv", "linear", "id"}; collection in {"params", "batch_stats"}.
-    Returns None for keys to skip (num_batches_tracked).
-    """
-    if key.endswith("num_batches_tracked"):
-        return None
-    toks = key.split(".")
-
+def _walk_structure(toks: list[str]) -> list[str]:
+    """Shared torch->flax STRUCTURAL token rewrite (stem / stages / mixers /
+    RecConv kernels), used by both the unfused (_map_key) and fused
+    (torch_fused_to_flax) walkers so the grammar lives in exactly one place."""
     out: list[str] = []
     i = 0
     while i < len(toks):
         t = toks[i]
         if t == "stem" and i + 1 < len(toks) and toks[i + 1] == "stem":
-            out.append("stem")
-            out.append(_STEM[toks[i + 2]])
+            out += ["stem", _STEM[toks[i + 2]]]
             i += 3
             continue
         if t == "stages":
@@ -63,20 +56,26 @@ def _map_key(key: str) -> Tuple[Tuple[str, ...], str, str] | None:
             if toks[i + 2] == "downsample":
                 out.append(f"downsample_{idx}")
                 i += 3
-                continue
-            assert toks[i + 2] == "blocks"
-            out.append(f"stage{idx}_block{toks[i + 3]}")
-            i += 4
+            else:
+                assert toks[i + 2] == "blocks", toks
+                out.append(f"stage{idx}_block{toks[i + 3]}")
+                i += 4
             continue
         if t == "channel_mixer":
-            out.append("channel_mixer")
-            out.append({"0": "fc1", "2": "fc2"}[toks[i + 1]])
+            out += ["channel_mixer", {"0": "fc1", "2": "fc2"}[toks[i + 1]]]
             i += 2
             continue
         if t == "down" and i + 1 < len(toks) and toks[i + 1] in ("0", "1"):
             # RecAttn2d down Sequential: 0 = ConvNorm, 1 = LinearAttention
             out.append("down" if toks[i + 1] == "0" else "attn")
             i += 2
+            continue
+        if (t == "token_mixer" and i + 2 < len(toks) and toks[i + 1] == "down"
+                and toks[i + 2] in ("weight", "bias")):
+            # M-series RecConv2d shared stride-2 down conv
+            out += ["token_mixer",
+                    "down_kernel" if toks[i + 2] == "weight" else "down_bias"]
+            i += 3
             continue
         if t == "token_mixer" and i + 1 < len(toks) and toks[i + 1] == "attn":
             # L-series PartialChannelOperation(attn): params live at block scope
@@ -85,24 +84,33 @@ def _map_key(key: str) -> Tuple[Tuple[str, ...], str, str] | None:
             continue
         if t == "convs":
             # M-series RecConv2d convs.{k}.weight -> conv{k}_kernel
-            k = toks[i + 1]
             leaf = toks[i + 2]
-            out.append(f"conv{k}_kernel" if leaf == "weight" else f"conv{k}_bias")
+            out.append(f"conv{toks[i + 1]}_{'kernel' if leaf == 'weight' else 'bias'}")
             i += 3
             continue
         out.append(t)
         i += 1
+    return out
+
+
+def _map_key(key: str) -> Tuple[Tuple[str, ...], str, str] | None:
+    """torch dotted key -> (flax path tuple, collection, transform).
+
+    transform in {"conv", "linear", "id"}; collection in {"params", "batch_stats"}.
+    Returns None for keys to skip (num_batches_tracked).
+    """
+    if key.endswith("num_batches_tracked"):
+        return None
+    out = _walk_structure(key.split("."))
 
     # Leaf handling
     leaf = out[-1]
     parent = out[-2] if len(out) >= 2 else ""
+    if leaf in ("down_kernel", "down_bias"):
+        return tuple(out), "params", "conv" if leaf == "down_kernel" else "id"
     if leaf.startswith("conv") and leaf.endswith(("_kernel", "_bias")):
         tr = "conv" if leaf.endswith("_kernel") else "id"
         return tuple(out), "params", tr
-    if parent == "down" and leaf in ("weight", "bias") and "token_mixer" in out:
-        # M-series RecConv2d shared down conv (token_mixer.down.weight)
-        out[-2:] = ["down_kernel" if leaf == "weight" else "down_bias"]
-        return tuple(out), "params", "conv" if leaf == "weight" else "id"
     if parent == "norm":
         if leaf == "weight":
             return tuple(out[:-1] + ["scale"]), "params", "id"
@@ -168,51 +176,7 @@ def torch_fused_to_flax(state: Mapping[str, Any], family: str = "m") -> Dict[str
     eps = 1e-5
 
     def rewrite(key: str) -> list[str]:
-        toks = key.split(".")
-        out: list[str] = []
-        i = 0
-        while i < len(toks):
-            t = toks[i]
-            if t == "stem" and i + 1 < len(toks) and toks[i + 1] == "stem":
-                out += ["stem", _STEM[toks[i + 2]]]
-                i += 3
-                continue
-            if t == "stages":
-                idx = toks[i + 1]
-                if toks[i + 2] == "downsample":
-                    out.append(f"downsample_{idx}")
-                    i += 3
-                else:
-                    out.append(f"stage{idx}_block{toks[i + 3]}")
-                    i += 4
-                continue
-            if t == "channel_mixer":
-                out += ["channel_mixer", {"0": "fc1", "2": "fc2"}[toks[i + 1]]]
-                i += 2
-                continue
-            if t == "down" and i + 1 < len(toks) and toks[i + 1] in ("0", "1"):
-                out.append("down" if toks[i + 1] == "0" else "attn")
-                i += 2
-                continue
-            if (t == "token_mixer" and i + 2 < len(toks) and toks[i + 1] == "down"
-                    and toks[i + 2] in ("weight", "bias")):
-                # M-series RecConv2d shared stride-2 down conv
-                out += ["token_mixer",
-                        "down_kernel" if toks[i + 2] == "weight" else "down_bias"]
-                i += 3
-                continue
-            if t == "token_mixer" and i + 1 < len(toks) and toks[i + 1] == "attn":
-                out.append("attn")
-                i += 2
-                continue
-            if t == "convs":
-                leaf = toks[i + 2]
-                out.append(f"conv{toks[i + 1]}_{'kernel' if leaf == 'weight' else 'bias'}")
-                i += 3
-                continue
-            out.append(t)
-            i += 1
-        return out
+        return _walk_structure(key.split("."))  # shared grammar (_map_key)
 
     # standalone BN -> FusedAffine
     bn_prefixes = {k[: -len(".running_mean")] for k in flat if k.endswith(".running_mean")}

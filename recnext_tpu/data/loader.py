@@ -92,6 +92,19 @@ class Prefetcher:
             yield item
 
 
+def _samples_on_disk(dataset) -> bool:
+    """The native C++ decoder open()s dataset.samples[i][0] as a filesystem
+    path. TarImageFolder also exposes `samples`, but its paths are tar MEMBER
+    names — probe the first one so tar-backed (or any virtual) datasets fall
+    back to the PIL path instead of crashing the prefetch worker."""
+    import os
+
+    samples = getattr(dataset, "samples", None)
+    if not samples:
+        return False
+    return os.path.isfile(samples[0][0])
+
+
 def train_loader(
     dataset,
     transform,
@@ -115,7 +128,7 @@ def train_loader(
     if native and aug_splits <= 1:
         from recnext_tpu.data import native as native_io
 
-        if native_io.available() and hasattr(dataset, "samples"):
+        if native_io.available() and _samples_on_disk(dataset):
             factory = lambda: _native_train_batches(dataset, transform, indices,
                                                     batch_size, seed=(seed, epoch))
             return Prefetcher(factory, depth=prefetch)
@@ -194,7 +207,7 @@ def eval_loader(
     if native:
         from recnext_tpu.data import native as native_io
 
-        if native_io.available() and hasattr(dataset, "samples"):
+        if native_io.available() and _samples_on_disk(dataset):
             size = getattr(transform, "size", 224)
             crop_pct = getattr(transform, "crop_pct", 224 / 256)
             factory = lambda: _native_eval_batches(dataset, indices, batch_size,

@@ -43,7 +43,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _FAILED
     if _LIB is not None or _FAILED:
         return _LIB
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    # a shipped build dir may carry the .so without the source; use it as-is
+    stale = _SRC.exists() and (not _SO.exists()
+                               or _SO.stat().st_mtime < _SRC.stat().st_mtime)
+    if not _SO.exists() or stale:
         if not _build():
             _FAILED = True
             return None

@@ -2,10 +2,11 @@
 
 Implements the reference training recipe (/root/reference/data/datasets.py:102-140):
 train = RandomResizedCrop(bicubic, scale .08-1) + flip + RandAugment(rand-m9-mstd0.5-inc1)
-+ color-jitter 0.4 + normalize + RandomErasing(p=.25, pixel); eval = resize(256/224*s,
-bicubic) + center crop + normalize. Plus ThreeAugment (DeiT-III,
++ normalize + RandomErasing(p=.25, pixel) — per timm create_transform, auto-augment
+REPLACES color jitter ("elif color_jitter is not None", transforms_factory.py); eval =
+resize(256/224*s, bicubic) + center crop + normalize. Plus ThreeAugment (DeiT-III,
 /root/reference/data/threeaugment.py:88-121): RRC + flip + choice(grayscale, solarize,
-blur) + jitter.
+blur) + jitter 0.4 (3A is the one branch that does jitter).
 
 Outputs are HWC float32 normalized arrays (NHWC batches feed the TPU directly).
 """
@@ -259,11 +260,16 @@ class TrainTransform:
         if not isinstance(img, Image.Image):
             img = Image.fromarray(img, "RGB")
         if self.three_augment:
+            # DeiT-III: one of {grayscale, solarize, blur} THEN ColorJitter
+            # (reference data/threeaugment.py + --ThreeAugment path)
             img = three_augment_choice(rng, img)
+            if self.jitter:
+                img = color_jitter(rng, img, self.jitter)
         else:
+            # timm create_transform: auto_augment REPLACES color jitter
+            # ("elif color_jitter is not None" — transforms_factory.py); the
+            # reference's default recipe (aa=rand-m9-mstd0.5-inc1) runs RA only
             img = rand_augment(rng, img, magnitude=self.ra_magnitude)
-        if self.jitter:
-            img = color_jitter(rng, img, self.jitter)
         arr = normalize(img)
         if self.reprob:
             arr = random_erasing(rng, arr, p=self.reprob)

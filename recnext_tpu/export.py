@@ -49,7 +49,10 @@ def resolve_published_path(model_name: str, path: str) -> Path:
     if p.is_dir():
         f = p / f"{model_name}_fused.msgpack"
         if not f.exists():
-            stamped = sorted(p.glob(f"{model_name}_fused-*.msgpack"))
+            # newest by mtime — the sha8 infix is content-derived, so a
+            # lexicographic sort would pick an arbitrary (possibly stale) one
+            stamped = sorted(p.glob(f"{model_name}_fused-*.msgpack"),
+                             key=lambda q: q.stat().st_mtime)
             if stamped:
                 f = stamped[-1]
         p = f

@@ -298,12 +298,28 @@ def main(argv=None):
     # tunnel is down (same contract as bench.py; utils/watchdog.py)
     require_devices(metric=f"serve_{args.model}_device_init")
 
+    if args.check:
+        # The TPU is single-client: the server process already holds the chip,
+        # so the checker's direct model must NOT touch it or it blocks until
+        # the server exits. Run the direct reference on CPU in f32 (unless the
+        # user pinned a platform explicitly) and compare with a cross-precision
+        # tolerance against the server's bf16 output.
+        atol = 1e-3
+        if not os.environ.get("JAX_PLATFORMS"):
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+            atol = 5e-2
+        ref = ServingModel(args.archive, args.model, max_batch=args.max_batch,
+                           input_size=args.input_size, dtype=jnp.float32,
+                           packed=False if args.no_packed else None)
+        ok = check_server(args.check, ref, args.image, atol=atol)
+        raise SystemExit(0 if ok else 1)
+
     model = ServingModel(args.archive, args.model, max_batch=args.max_batch,
                          input_size=args.input_size,
                          packed=False if args.no_packed else None)
-    if args.check:
-        ok = check_server(args.check, model, args.image)
-        raise SystemExit(0 if ok else 1)
 
     print(f"compiling {args.model} (max_batch={args.max_batch}, "
           f"packed={model.packed}) ...", flush=True)

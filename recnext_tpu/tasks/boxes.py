@@ -101,12 +101,17 @@ def assign_anchors(
     neg = best_iou < neg_iou
     valid = pos | neg
 
-    # force-match: the argmax anchor of each gt becomes positive for that gt
+    # force-match: the argmax anchor of each VALID gt becomes positive for that
+    # gt. Invalid (padded) gts all argmax to anchor 0 on their zeroed iou
+    # column, so scatter them to the out-of-range index A instead — otherwise a
+    # padded gt could overwrite a real gt's force-match at anchor 0 (force
+    # False / forced_gt = padded index -> a positive anchor with label -1).
     best_anchor = jnp.argmax(iou, axis=0)  # (G,)
+    target = jnp.where(gt_valid, best_anchor, anchors.shape[0])
     force = jnp.zeros(anchors.shape[0], bool)
-    force = force.at[best_anchor].set(gt_valid, mode="drop")
+    force = force.at[target].set(True, mode="drop")
     forced_gt = jnp.zeros(anchors.shape[0], jnp.int32)
-    forced_gt = forced_gt.at[best_anchor].set(
+    forced_gt = forced_gt.at[target].set(
         jnp.arange(gt_boxes.shape[0], dtype=jnp.int32), mode="drop")
     best_gt = jnp.where(force, forced_gt, best_gt)
     pos = pos | force

@@ -95,10 +95,18 @@ class COCOEvaluator:
                    * np.maximum(gt_boxes[:, 3] - gt_boxes[:, 1], 0))
         dt_area = (np.maximum(dt_boxes[:, 2] - dt_boxes[:, 0], 0)
                    * np.maximum(dt_boxes[:, 3] - dt_boxes[:, 1], 0))
+        # pycocotools uses ann['area'] — the SEGMENTATION pixel area for
+        # instance gts — for the area-range gates of BOTH bbox and segm eval,
+        # and the same area feeds the recall denominator; the per-gt gate and
+        # _npig must agree or tps/npig can exceed 1 in a range
         if "masks" in gt and gt.get("masks") is not None and len(gt_labels):
-            gt_area_seg = np.asarray(gt["masks"]).reshape(len(gt_labels), -1).sum(1)
+            gt_area_eval = np.asarray(gt["masks"]).reshape(len(gt_labels), -1).sum(1)
         else:
-            gt_area_seg = gt_area
+            gt_area_eval = gt_area
+        if pred.get("masks") is not None and len(dt_labels):
+            dt_area_seg = np.asarray(pred["masks"]).reshape(len(dt_labels), -1).sum(1)
+        else:
+            dt_area_seg = dt_area
 
         types = [("bbox", None)]
         if pred.get("masks") is not None and gt.get("masks") is not None:
@@ -115,23 +123,23 @@ class COCOEvaluator:
                 di = di[order][:self.max_dets]
                 if iou_type == "bbox":
                     ious = box_iou_np(dt_boxes[di], gt_boxes[gi], iscrowd[gi])
-                    garea = gt_area[gi]
+                    darea = dt_area[di]
                 else:
                     ious = mask_iou_np(
                         np.asarray(pred["masks"])[di].astype(bool),
                         np.asarray(gt["masks"])[gi].astype(bool), iscrowd[gi])
-                    garea = gt_area_seg[gi]
-                self._match(iou_type, int(c), ious, dt_scores[di], dt_area[di],
-                            garea, iscrowd[gi])
+                    darea = dt_area_seg[di]
+                self._match(iou_type, int(c), ious, dt_scores[di], darea,
+                            gt_area_eval[gi], iscrowd[gi])
 
-        # gt counts once (bbox area convention, crowd excluded)
+        # gt counts once (ann['area'] convention, crowd excluded)
         for c in np.unique(gt_labels):
             if c < 0 or c >= self.num_classes:
                 continue
             gi = np.where((gt_labels == c) & ~iscrowd)[0]
             for ai, (lo, hi) in enumerate(AREA_RANGES.values()):
                 self._npig[int(c), ai] += int(
-                    np.sum((gt_area[gi] >= lo) & (gt_area[gi] < hi)))
+                    np.sum((gt_area_eval[gi] >= lo) & (gt_area_eval[gi] < hi)))
 
     def _match(self, iou_type: str, c: int, ious: np.ndarray, scores: np.ndarray,
                dt_area: np.ndarray, gt_area: np.ndarray, crowd: np.ndarray):

@@ -129,9 +129,11 @@ def evaluate_detection(dataset, predict_fn, *, batch_size: int, with_mask: bool,
     ev = COCOEvaluator(dataset.nb_classes)
     n = min(len(dataset), max_images) if max_images else len(dataset)
     idx = list(range(n))
-    # pad the tail so every device batch has the static shape
+    # pad the tail so every device batch has the static shape; cycle idx in
+    # case pad > n (batch_size > 2n would otherwise yield a short batch and a
+    # second multi-minute jit compile at the odd shape)
     pad = (-n) % batch_size
-    padded = idx + idx[:pad] if pad else idx
+    padded = idx + (idx * (pad // n + 1))[:pad] if pad else idx
     seen = 0
     for batch in _det_batches(dataset, padded, batch_size, drop_last=False):
         boxes, scores, labels, mprobs, valid = predict_fn(
@@ -400,7 +402,12 @@ def main(argv=None):
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("image", "gt_boxes", "gt_labels", "gt_masks")}
             state, metrics = train_step(state, jb)
-            losses.append({k: float(v) for k, v in metrics.items()})
+            # keep metrics as device arrays: a float() here would block on a
+            # host round-trip per step and serialize dispatch over the tunnel
+            # RTT (CLAUDE.md measurement pitfalls); fetch once per epoch below
+            losses.append(metrics)
+        losses = [{k: float(v) for k, v in m.items()}
+                  for m in jax.device_get(losses)]
         comp_means = {k: round(float(np.mean([l[k] for l in losses])), 4)
                       for k in losses[0] if k != "loss"} if losses else {}
         losses = [l["loss"] for l in losses]

@@ -46,6 +46,23 @@ def test_assignment():
     assert int(idx[2]) in (0, 1, 2)
 
 
+def test_assignment_force_match_survives_gt_padding():
+    """Padded gts all argmax to anchor 0 on their zeroed iou column; they must
+    not overwrite a real gt's force-match there (mmdet MaxIoUAssigner keeps the
+    valid gt's best anchor positive regardless of padding)."""
+    # the real gt's best anchor IS anchor 0, with IoU below pos_iou so only the
+    # force-match path can make it positive
+    anchors = jnp.asarray([[0, 0, 10, 10], [50, 50, 60, 60]], jnp.float32)
+    gt = jnp.asarray([[0, 0, 10, 30],          # IoU with anchor0 = 1/3 < 0.5
+                      [-1, -1, -1, -1],
+                      [-1, -1, -1, -1]], jnp.float32)
+    labels = jnp.asarray([4, -1, -1], jnp.int32)
+    idx, lab, pos, valid = assign_anchors(anchors, gt, labels)
+    assert bool(pos[0]), "force-match clobbered by padded gts"
+    assert int(idx[0]) == 0 and int(lab[0]) == 4
+    assert not bool(pos[1])
+
+
 def test_nms():
     boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32)
     scores = jnp.asarray([0.9, 0.8, 0.7], jnp.float32)

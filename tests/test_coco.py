@@ -102,6 +102,24 @@ class TestEvaluator:
         assert s["bbox_mAP_l"] == pytest.approx(1.0)
         assert np.isnan(s["bbox_mAP_m"])
 
+    def test_area_ranges_use_mask_area_when_masks_exist(self):
+        """pycocotools gates area ranges on ann['area'] (the MASK pixel area
+        for instances) in BOTH bbox and segm eval, and the same area feeds the
+        recall denominator. A thin diagonal-ish object (large bbox, small mask)
+        must count as SMALL everywhere — a bbox-area denominator with a
+        mask-area gate lets tps/npig exceed 1."""
+        H = W = 128
+        thin = np.zeros((H, W), np.uint8)
+        thin[10:110, 10:14] = 1  # mask area 400 (< 32^2) inside a 100x100 bbox
+        gt = _gt([[10, 10, 110, 110]], [0], masks=[thin])
+        pred = _pred([[10, 10, 110, 110]], [0.9], [0], masks=[thin])
+        ev = COCOEvaluator(num_classes=1)
+        ev.add(gt, pred)
+        s = ev.summarize()
+        for pre in ("bbox", "segm"):
+            assert s[f"{pre}_mAP_s"] == pytest.approx(1.0), pre
+            assert np.isnan(s[f"{pre}_mAP_l"]), pre  # no large gts at all
+
     def test_mask_ap(self):
         H = W = 64
         m1 = np.zeros((H, W), np.uint8)

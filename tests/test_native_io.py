@@ -205,3 +205,35 @@ def test_native_bicubic_matches_pil_eval_transform():
         d = np.abs(got - want) * IMAGENET_STD[None, None]
         assert d.max() < 0.02, (w, h, d.max())
         assert d.mean() < 0.004, (w, h, d.mean())
+
+
+def test_native_loader_falls_back_for_tar_dataset(tmp_path):
+    """TarImageFolder.samples holds tar MEMBER names, not filesystem paths — the
+    native gate must detect that and use the PIL path instead of crashing the
+    prefetch worker (loader._samples_on_disk)."""
+    import tarfile
+
+    from recnext_tpu.data.datasets import TarImageFolder
+    from recnext_tpu.data.loader import eval_loader, train_loader
+    from recnext_tpu.data.transforms import EvalTransform, SimpleTrainTransform
+
+    _train_folder(tmp_path, n_per_class=2)
+    tar_path = tmp_path / "train.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        tf.add(tmp_path / "train", arcname=".")
+    ds = TarImageFolder(str(tar_path))
+    assert len(ds) == 4
+
+    ev_nat = list(iter(eval_loader(ds, EvalTransform(32), batch_size=2,
+                                   native=True)))
+    ev_pil = list(iter(eval_loader(ds, EvalTransform(32), batch_size=2,
+                                   native=False)))
+    assert len(ev_nat) == len(ev_pil) > 0
+    for bn, bp in zip(ev_nat, ev_pil):
+        np.testing.assert_array_equal(bn["label"], bp["label"])
+        np.testing.assert_allclose(bn["image"], bp["image"], atol=1e-5)
+
+    tr = list(iter(train_loader(ds, SimpleTrainTransform(32), batch_size=2,
+                                epoch=0, seed=1, repeated_aug=False,
+                                native=True)))
+    assert len(tr) > 0 and tr[0]["image"].shape == (2, 32, 32, 3)
