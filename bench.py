@@ -98,6 +98,12 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
                               auto_split=auto_split, packed=packed,
                               **model_kwargs)
         raise
+    # warmup: run the chained step for ~warmup_s wall seconds (clock/power
+    # settling — the speed_gpu.py:11-27 warmup-loop counterpart)
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < warmup_s:
+        x = step(fvars, x)
+        sync(x)
     # calibrate with a few synced iterations
     t0 = time.perf_counter()
     ncal = 3

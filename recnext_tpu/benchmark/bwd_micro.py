@@ -162,6 +162,12 @@ if __name__ == "__main__":
     p.add_argument("--stride", type=int, default=1)
     p.add_argument("--op", default="all", choices=["dw", "recconv", "mlpbn", "all"])
     args = p.parse_args()
+
+    from recnext_tpu.utils.platform import honor_env_platform
+    from recnext_tpu.utils.watchdog import require_devices
+
+    honor_env_platform()
+    require_devices(metric="bwd_micro_device_init")
     if args.op in ("dw", "all"):
         bench_dw_bwd(args.batch, kernel=args.kernel, stride=args.stride)
     if args.op in ("recconv", "all"):

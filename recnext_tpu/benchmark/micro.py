@@ -70,7 +70,6 @@ def bench_dwconv(batch=256, dtype=jnp.bfloat16):
 
         f1 = jax.jit(lambda x, w: depthwise_conv2d(x, w, stride=stride, padding=2))
         f2 = jax.jit(lambda x, w: depthwise_conv2d_taps(x, w, stride=stride, padding=2))
-        chain = 0 if stride == 1 else None
         for name, f in [("conv", f1), ("taps", f2)]:
             if stride == 1:
                 ms = timeit(f, x, dw, chain_idx=0)
@@ -170,6 +169,12 @@ if __name__ == "__main__":
     p.add_argument("--op", default="all")
     p.add_argument("--batch", type=int, default=256)
     args = p.parse_args()
+
+    from recnext_tpu.utils.platform import honor_env_platform
+    from recnext_tpu.utils.watchdog import require_devices
+
+    honor_env_platform()
+    require_devices(metric="micro_device_init")
     print("backend:", jax.default_backend(), jax.devices())
     if args.op in ("recconv", "all"):
         bench_recconv(args.batch)

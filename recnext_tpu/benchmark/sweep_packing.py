@@ -60,6 +60,11 @@ def main(argv=None):
 
     from recnext_tpu.models.packed_infer import packed_apply
     from recnext_tpu.models.registry import get_config
+    from recnext_tpu.utils.platform import honor_env_platform
+    from recnext_tpu.utils.watchdog import require_devices
+
+    honor_env_platform()
+    require_devices(metric="sweep_packing_device_init")
 
     dtype = jnp.bfloat16
     kw = {"recconv_upsample": "matmul"} if args.model.startswith("recnext_m") else {}
