@@ -28,6 +28,20 @@ def test_detection_backbone_pyramid():
         (1, 16, 16, 32), (1, 8, 8, 32), (1, 4, 4, 32), (1, 2, 2, 32), (1, 1, 1, 32)]
 
 
+def test_detection_backbone_pyramid_a_family():
+    """The A family (RecAttn mixers) feeds the same FPN extractor — the role of
+    the reference's separate detection/recattn.py backbone copy."""
+    cfg = RecNextConfig(name="tiny_a", family="a", embed_dim=(8, 16, 32, 64),
+                        depth=(1, 1, 1, 1), mlp_ratio=(2, 2, 2, 2),
+                        num_classes=10)
+    m = DetectionBackbone(backbone_cfg=cfg, fpn_channels=32, num_outs=5)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 32), (1, 8, 8, 32), (1, 4, 4, 32), (1, 2, 2, 32), (1, 1, 1, 32)]
+
+
 def test_init_from_classification_checkpoint():
     cls = RecNext(cfg=TINY)
     x = jnp.ones((1, 64, 64, 3))
