@@ -159,23 +159,26 @@ class TestEvaluator:
             16 / 48)
 
 
+def _rle_runs(mask: np.ndarray) -> list:
+    """Column-major COCO RLE runs (starting with the zero-run) for a binary mask."""
+    runs, prev, count = [], 0, 0
+    for v in mask.T.reshape(-1):
+        if v == prev:
+            count += 1
+        else:
+            runs.append(count)
+            prev, count = v, 1
+    runs.append(count)
+    return runs
+
+
 class TestSegDecoding:
     def test_uncompressed_rle_roundtrip(self):
         from recnext_tpu.data.coco import ann_to_mask
 
         m = np.zeros((4, 6), np.uint8)
         m[1:3, 2:5] = 1
-        # column-major runs
-        flat = m.T.reshape(-1)
-        runs, prev, count = [], 0, 0
-        for v in flat:
-            if v == prev:
-                count += 1
-            else:
-                runs.append(count)
-                prev, count = v, 1
-        runs.append(count)
-        out = ann_to_mask({"size": [4, 6], "counts": runs}, 4, 6)
+        out = ann_to_mask({"size": [4, 6], "counts": _rle_runs(m)}, 4, 6)
         np.testing.assert_array_equal(out, m)
 
     def test_compressed_rle(self):
@@ -201,16 +204,7 @@ class TestSegDecoding:
         m = np.zeros((7, 5), np.uint8)
         m[2:5, 1:4] = 1
         m[0, 0] = 1
-        flat = m.T.reshape(-1)
-        runs, prev, count = [], 0, 0
-        for v in flat:
-            if v == prev:
-                count += 1
-            else:
-                runs.append(count)
-                prev, count = v, 1
-        runs.append(count)
-        out = decode_compressed_rle(encode(runs), 7, 5)
+        out = decode_compressed_rle(encode(_rle_runs(m)), 7, 5)
         np.testing.assert_array_equal(out, m)
 
     def test_polygon(self):

@@ -54,7 +54,9 @@ def _load_strict(tm, state):
 def test_flax_to_torch_strict_load_and_parity(family):
     cfg = SMALL[family]
     fm = RecNext(cfg=cfg)
-    variables = _random_variables(fm, seed=hash(family) % 2**31)
+    # NOT hash(family): Python string hashing is salted per process, which
+    # would make any tolerance failure irreproducible across runs
+    variables = _random_variables(fm, seed=ord(family))
     state = flax_to_torch(variables)  # verify=True round-trips internally
 
     tm = _torch_model(family, cfg).eval()

@@ -19,18 +19,8 @@ from recnext_tpu.data.transforms import (
 )
 
 
-class _FakeDist:
-    """Minimal torch.distributed stub so the reference RASampler can be constructed."""
-
-    @staticmethod
-    def is_available():
-        return False
-
-
 def _ref_ra_indices(n, epoch, rank, num_replicas):
     import importlib.util
-    import sys
-    import types
 
     spec = importlib.util.spec_from_file_location("ref_samplers", "/root/reference/data/samplers.py")
     mod = importlib.util.module_from_spec(spec)
@@ -51,17 +41,23 @@ def test_ra_sampler_structure_matches_reference(n, replicas):
     truncation, 3x repetition coverage, disjoint-rank interleave. (The shuffle
     permutation differs — numpy vs torch RNG — but the index *math* must match.)"""
     for epoch in (0, 3):
-        ref_all, ours_all = [], []
-        for rank in range(replicas):
-            ref = _ref_ra_indices(n, epoch, rank, replicas)
-            ours = ra_sampler_indices(n, epoch, rank, replicas)
-            assert len(ours) == len(ref)  # floor(n/256*256/replicas)
-            ref_all.append(ref)
-            ours_all.append(ours)
-        # union over ranks before truncation covers each index <= 3 times
-        full = np.concatenate(ours_all)
-        _, counts = np.unique(full, return_counts=True)
-        assert counts.max() <= 3
+        for arrs, get in (("ref", _ref_ra_indices), ("ours", ra_sampler_indices)):
+            per_rank = [np.asarray(get(n, epoch, r, replicas))
+                        for r in range(replicas)]
+            if arrs == "ours":
+                ours_lens = [len(a) for a in per_rank]
+            else:
+                ref_lens = [len(a) for a in per_rank]
+            # union over ranks covers each index <= 3 times (3x repeat)
+            _, counts = np.unique(np.concatenate(per_rank), return_counts=True)
+            assert counts.max() <= 3, arrs
+            if replicas >= 3:
+                # disjoint-rank interleave: the 3 consecutive copies of each
+                # element land on 3 DIFFERENT ranks, so no rank sees an index
+                # twice (holds for the reference and must hold here)
+                for a in per_rank:
+                    assert len(np.unique(a)) == len(a), arrs
+        assert ours_lens == ref_lens  # floor(n*3/replicas ...) truncation math
 
 
 def test_ra_sampler_deterministic_per_epoch():

@@ -135,11 +135,20 @@ def test_packed_exact_every_registry_variant(rng, name):
     x = jnp.asarray(rng.normal(size=(8, 96, 96, 3)).astype(np.float32))
     variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x[:1])
     gen = np.random.default_rng(3)
-    variables = jax.tree.map(
-        lambda s: jnp.asarray(gen.normal(scale=0.05, size=s.shape), s.dtype),
-        variables)
+
+    def fill(path, s):
+        arr = gen.normal(scale=0.05, size=s.shape)
+        # BN variances must be POSITIVE or fuse_params' sqrt(var+eps) NaNs the
+        # whole tree and NaN==NaN vacuously passes (assert_allclose equal_nan
+        # default) — the historical failure mode of this very test
+        if path[-1].key == "var":
+            arr = np.abs(arr) + 0.5
+        return jnp.asarray(arr, s.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(fill, variables)
     fused_vars = fuse_params(variables)
     fused = RecNext(cfg=cfg, fused=True)
     want = np.asarray(fused.apply(fused_vars, x, training=False))
+    assert np.isfinite(want).all(), "oracle output not finite — test would be vacuous"
     got = np.asarray(packed_apply(fused_vars, cfg, x))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-5)

@@ -207,18 +207,14 @@ def test_validate_real_labels(tmp_path):
     assert res["top1"] == 0.0 and res["top5"] == 0.0
 
 
-def test_real_labels_list_format():
+def test_real_labels_list_format(tmp_path):
     """The original real.json list format keys by ImageNet val-order filenames."""
     from recnext_tpu.validate import RealLabels
 
     fnames = [f"ILSVRC2012_val_{i + 1:08d}.JPEG" for i in range(3)]
-    rl_json = [[5], [], [1, 7]]
-    import tempfile
-
-    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
-        json.dump(rl_json, f)
-        path = f.name
-    rl = RealLabels(fnames, path)
+    path = tmp_path / "real.json"
+    path.write_text(json.dumps([[5], [], [1, 7]]))
+    rl = RealLabels(fnames, str(path))
     logits = np.zeros((3, 10), np.float32)
     logits[0, 5] = 1.0   # top-1 hit
     logits[1, 0] = 1.0   # empty set: skipped
@@ -331,10 +327,9 @@ def test_device_latency_scan_chained(monkeypatch):
     compiles, serializes iterations through a data dependency, and returns a
     positive per-inference time (tiny config; the real number is measured on
     the TPU — PERF.md 'batch-1 latency')."""
-    import sys
     from pathlib import Path
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    monkeypatch.syspath_prepend(str(Path(__file__).resolve().parents[1]))
     import bench as bench_mod
 
     ms = bench_mod.device_latency_ms(
@@ -360,10 +355,9 @@ def test_bench_all_resume_and_error_capture(tmp_path, monkeypatch):
     """bench_all: rows flush after every model, --resume skips completed models
     (and retries errored ones), per-model failures become error rows instead of
     killing the sweep — the tunnel-outage restartability contract."""
-    import sys
     from pathlib import Path
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    monkeypatch.syspath_prepend(str(Path(__file__).resolve().parents[1]))
     import bench as bench_mod
     from recnext_tpu.benchmark import bench_all
 

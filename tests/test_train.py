@@ -134,6 +134,9 @@ def test_sharded_train_step_runs_and_learns():
             losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert int(state.step) == 5
+    # it must actually LEARN on the repeated batch, not just run — a step that
+    # applied zero/garbage gradients would keep the loss flat
+    assert losses[-1] < losses[0]
     # EMA must track params but not equal them
     lp = jax.tree_util.tree_leaves(state.params)[0]
     le = jax.tree_util.tree_leaves(state.ema_params)[0]
