@@ -100,7 +100,9 @@ def _make_state_and_step(mesh, mixup=True, distillation="hard"):
     model = RecNext(cfg=TINY)
     x0 = jnp.zeros((1, 32, 32, 3))
     variables = model.init(jax.random.PRNGKey(0), x0)
-    tx = make_optimizer(cosine_schedule(1e-3, steps_per_epoch=10))
+    # constant lr: the cosine schedule's first epoch is warmup_lr=1e-6, far too
+    # small for the 5-step learning assertions below to mean anything
+    tx = make_optimizer(5e-3)
     state = TrainState.create(variables, tx)
 
     tvars = model.init(jax.random.PRNGKey(1), x0)
@@ -112,7 +114,9 @@ def _make_state_and_step(mesh, mixup=True, distillation="hard"):
 
 def test_sharded_train_step_runs_and_learns():
     mesh = make_mesh(8, fsdp=2)
-    model, state, step = _make_state_and_step(mesh)
+    # mixup off: random per-step target mixing adds loss noise that can mask
+    # (or fake) the 5-step improvement this test asserts
+    model, state, step = _make_state_and_step(mesh, mixup=False)
     st_sh = state_sharding(state, mesh)
     b_sh = batch_sharding(mesh)
     r_sh = replicated(mesh)
