@@ -109,6 +109,24 @@ def test_three_augment_transform():
     assert out.shape == (32, 32, 3)
 
 
+def test_jitter_only_on_three_augment_branch():
+    """timm create_transform: auto-augment REPLACES color jitter, so the RA
+    branch must ignore the jitter field; ThreeAugment (DeiT-III) appends it."""
+    rng = np.random.default_rng(7)
+    img = Image.fromarray(rng.integers(0, 255, (80, 90, 3), np.uint8))
+
+    ra = TrainTransform(size=32).post_crop(np.random.default_rng(1), img)
+    ra_nojit = TrainTransform(size=32, jitter=0.0).post_crop(
+        np.random.default_rng(1), img)
+    np.testing.assert_array_equal(ra, ra_nojit)  # jitter inert under RA
+
+    ta = TrainTransform(size=32, three_augment=True, reprob=0.0).post_crop(
+        np.random.default_rng(1), img)
+    ta_nojit = TrainTransform(size=32, three_augment=True, jitter=0.0,
+                              reprob=0.0).post_crop(np.random.default_rng(1), img)
+    assert not np.array_equal(ta, ta_nojit)  # 3A branch DOES jitter
+
+
 def test_inat_dataset(tmp_path):
     import json
 
