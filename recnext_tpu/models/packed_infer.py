@@ -212,6 +212,7 @@ def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
                     tuple(_tile(jnp.asarray(tm[f"conv{l}_kernel"], dt), g)
                           for l in range(level + 1)),
                     level=level,
+                    mode=cfg.recconv_mode,
                     upsample=cfg.recconv_upsample,
                 )
                 y = affine(bp["norm"], y, g)

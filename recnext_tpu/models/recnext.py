@@ -69,6 +69,11 @@ class RecNextConfig:
     # MXU via two small einsums and is ~23% faster end-to-end on v5e than the
     # VPU-gather form (PERF.md); both compute the identical PyTorch-exact function.
     recconv_upsample: str = "matmul"
+    # RecConv ablation knobs (the reference's logs/ablation/* rec_{3x3,5x5,7x7}
+    # and *_nearest runs were built by passing kernel_size/mode into RecConv2d,
+    # model/recnext.py:9,426 — here they are first-class config)
+    recconv_kernel_size: int = 5
+    recconv_mode: str = "bilinear"  # "bilinear" | "nearest"
     # linear-attention feature map: elu | softplus | relu (the lsnet "Promising
     # refinement" kernel ablation, /root/reference/lsnet/README.md)
     attn_kernel: str = "elu"
@@ -131,13 +136,16 @@ class MetaNeXtBlockM(nn.Module):
     stage: int
     drop_path: float = 0.0
     upsample: str = "gather"
+    kernel_size: int = 5
+    mode: str = "bilinear"
     fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         c = x.shape[-1]
-        y = RecConv2dMixer(level=4 - self.stage, kernel_size=5, dtype=self.dtype,
+        y = RecConv2dMixer(level=4 - self.stage, kernel_size=self.kernel_size,
+                           mode=self.mode, dtype=self.dtype,
                            upsample=self.upsample, name="token_mixer")(x)
         if self.fused:
             y = FusedAffine(name="norm")(y)
@@ -374,6 +382,8 @@ class RecNext(nn.Module):
                 if cfg.family == "m":
                     blocks.append(MetaNeXtBlockM(ratio, stage=i, drop_path=rates[i][j],
                                                  upsample=cfg.recconv_upsample,
+                                                 kernel_size=cfg.recconv_kernel_size,
+                                                 mode=cfg.recconv_mode,
                                                  fused=self.fused, dtype=self.dtype,
                                                  name=name))
                 elif cfg.family == "a":

@@ -84,3 +84,24 @@ def create_model(
 
 def list_models():
     return sorted(MODEL_CONFIGS)
+
+
+def parse_kv_overrides(spec: str) -> dict:
+    """Parse CLI 'k=v,k2=v2' RecNextConfig overrides (ablation knobs: e.g.
+    'recconv_kernel_size=3,recconv_mode=nearest,attn_kernel=relu'). Values are
+    coerced int -> float -> bool -> str; unknown keys fail loudly inside
+    dataclasses.replace."""
+    out: dict = {}
+    for pair in filter(None, (p.strip() for p in spec.split(","))):
+        if "=" not in pair:
+            raise ValueError(f"--model-kwargs entry {pair!r} is not key=value")
+        k, v = pair.split("=", 1)
+        for cast in (int, float):
+            try:
+                out[k] = cast(v)
+                break
+            except ValueError:
+                continue
+        else:
+            out[k] = {"true": True, "false": False}.get(v.lower(), v)
+    return out

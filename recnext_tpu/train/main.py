@@ -39,6 +39,11 @@ def parse_args(argv=None):
 
     p = argparse.ArgumentParser("RecNext TPU training", parents=[cfg_parser])
     p.add_argument("--model", default="recnext_m1")
+    p.add_argument("--model-kwargs", default="",
+                   help="comma-separated RecNextConfig overrides for ablation "
+                        "recipes (logs/ablation/*), e.g. "
+                        "recconv_kernel_size=3,recconv_mode=nearest,"
+                        "attn_kernel=relu")
     p.add_argument("--batch-size", type=int, default=256, help="global batch")
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--input-size", type=int, default=224)
@@ -222,8 +227,11 @@ def main(argv=None):
 
         model = create_regnet(args.model, num_classes=nb_classes, dtype=dtype)
     else:
+        from recnext_tpu.models.registry import parse_kv_overrides
+
         model = create_model(args.model, num_classes=nb_classes,
-                             distillation=distill, dtype=dtype)
+                             distillation=distill, dtype=dtype,
+                             **parse_kv_overrides(args.model_kwargs))
     x0 = jnp.zeros((1, args.input_size, args.input_size, 3), dtype)
     # jit the init: un-jitted init over the remote-TPU tunnel is thousands of ~2ms
     # dispatches (minutes); one compiled program instead (PERF.md)

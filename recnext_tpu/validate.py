@@ -25,6 +25,9 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser("RecNext TPU validation")
     p.add_argument("--model", required=True)
+    p.add_argument("--model-kwargs", default="",
+                   help="comma-separated RecNextConfig overrides matching the "
+                        "trained ablation config, e.g. recconv_kernel_size=3")
     p.add_argument("--checkpoint", default="", help="orbax dir / published dir / .pth")
     p.add_argument("--fused", action="store_true", help="evaluate the BN-fused model")
     p.add_argument("--packed", action="store_true",
@@ -147,8 +150,12 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     ds, nb_classes = build_dataset(False, args.data_set, args.data_path, args.input_size)
-    model = create_model(args.model, num_classes=nb_classes, dtype=dtype)
-    fused_model = create_model(args.model, num_classes=nb_classes, fused=True, dtype=dtype)
+    from recnext_tpu.models.registry import parse_kv_overrides
+
+    mkw = parse_kv_overrides(args.model_kwargs)
+    model = create_model(args.model, num_classes=nb_classes, dtype=dtype, **mkw)
+    fused_model = create_model(args.model, num_classes=nb_classes, fused=True,
+                               dtype=dtype, **mkw)
     variables = load_variables(args, model, fused_model)
     net = fused_model if args.fused else model
 
@@ -170,7 +177,7 @@ def main(argv=None):
         from recnext_tpu.models.packed_infer import packed_apply
         from recnext_tpu.models.registry import get_config
 
-        cfg = get_config(args.model, num_classes=nb_classes)
+        cfg = get_config(args.model, num_classes=nb_classes, **mkw)
         if not args.fused or cfg.family not in ("m", "a"):
             raise SystemExit("--packed requires --fused and an m/a-family model")
 

@@ -279,6 +279,34 @@ def test_frozen_stats_mode():
     assert all(np.allclose(b, a) for b, a in zip(before, after))
 
 
+def test_recconv_ablation_config_knobs():
+    """recconv_kernel_size / recconv_mode reproduce the reference's ablation
+    family (logs/ablation rec_3x3 / *_nearest; RecConv2d params
+    model/recnext.py:9,426) through the whole chain: build, fuse parity, and
+    the lane-packed executor."""
+    import dataclasses
+
+    from recnext_tpu.fusion import fuse_params
+    from recnext_tpu.models.packed_infer import packed_apply
+
+    cfg = dataclasses.replace(SMALL["m"], recconv_kernel_size=3,
+                              recconv_mode="nearest")
+    fm = RecNext(cfg=cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    variables = fm.init(jax.random.PRNGKey(0), x)
+    k = variables["params"]["stage0_block0"]["token_mixer"]["down_kernel"]
+    assert k.shape[:2] == (3, 3)
+
+    fused_vars = fuse_params(variables)
+    fused = RecNext(cfg=cfg, fused=True)
+    want = np.asarray(fused.apply(fused_vars, x, training=False))
+    raw = np.asarray(fm.apply(variables, x, training=False))
+    np.testing.assert_allclose(want, raw, atol=2e-5, rtol=2e-5)
+    got = np.asarray(packed_apply(fused_vars, cfg, x))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+
+
 def test_frozen_stats_keeps_stochastic_depth_active():
     """frozen_stats freezes ONLY BatchNorm — DropPath must stay governed by
     `training`, like the reference frozen-BN train() which .eval()s only BN

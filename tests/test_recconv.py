@@ -15,21 +15,25 @@ def _torch_dw_to_hwio(w: torch.Tensor) -> jnp.ndarray:
 
 
 @pytest.mark.parametrize(
-    "level,h,w,mode",
+    "level,h,w,mode,kernel",
     [
-        (1, 7, 7, "bilinear"),
-        (2, 14, 14, "bilinear"),
-        (3, 28, 28, "bilinear"),
-        (4, 56, 56, "bilinear"),
-        (2, 13, 17, "bilinear"),  # odd sizes stress ceil-div pyramid + size restore
-        (3, 14, 14, "nearest"),
+        (1, 7, 7, "bilinear", 5),
+        (2, 14, 14, "bilinear", 5),
+        (3, 28, 28, "bilinear", 5),
+        (4, 56, 56, "bilinear", 5),
+        (2, 13, 17, "bilinear", 5),  # odd sizes stress ceil-div pyramid + size restore
+        (3, 14, 14, "nearest", 5),
+        # the ablation kernels (logs/ablation rec_3x3 / rec_7x7, RecConv2d
+        # kernel_size param, model/recnext.py:9)
+        (2, 14, 14, "bilinear", 3),
+        (2, 14, 14, "nearest", 7),
     ],
 )
-def test_recconv_matches_reference(level, h, w, mode, rng):
+def test_recconv_matches_reference(level, h, w, mode, kernel, rng):
     ref_mod = load_ref_module("model/recnext.py", "ref_recnext")
     c = 16
     torch.manual_seed(0)
-    m = ref_mod.RecConv2d(c, kernel_size=5, bias=False, level=level, mode=mode).eval()
+    m = ref_mod.RecConv2d(c, kernel_size=kernel, bias=False, level=level, mode=mode).eval()
     # reference ctor leaves weights at conv default init; randomize for a stronger test
     # (std kept small so activations stay O(1) over level+1 chained convs and fp32
     # reduction-order noise does not dominate the comparison)

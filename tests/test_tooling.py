@@ -427,3 +427,24 @@ def test_merge_results_best_of_batch(tmp_path):
     assert m1["images_per_sec"] == 9400.0  # error row dropped, 256 row kept
     table = markdown_table(rows)
     assert "| recnext_m0 | 14800 | 750 | 19.7x | 0.21 |" in table
+
+
+def test_model_kwargs_overrides(tmp_path):
+    """--model-kwargs: parse/coerce k=v ablation overrides, reject malformed
+    entries and unknown config keys loudly."""
+    import pytest as _pytest
+
+    from recnext_tpu.models.registry import create_model, parse_kv_overrides
+
+    kw = parse_kv_overrides("recconv_kernel_size=3,recconv_mode=nearest,"
+                            "drop_rate=0.1,share_channel=true")
+    assert kw == {"recconv_kernel_size": 3, "recconv_mode": "nearest",
+                  "drop_rate": 0.1, "share_channel": True}
+    assert parse_kv_overrides("") == {}
+    with _pytest.raises(ValueError):
+        parse_kv_overrides("oops")
+    with _pytest.raises(TypeError):
+        create_model("recnext_m0", **parse_kv_overrides("not_a_field=1"))
+
+    m = create_model("recnext_m0", **parse_kv_overrides("recconv_kernel_size=3"))
+    assert m.cfg.recconv_kernel_size == 3
