@@ -129,7 +129,6 @@ def import_torch_and_publish(model_name: str, torch_ckpt: str, out_path: str) ->
 
 def main():
     import argparse
-    import os
 
     # honor an explicit JAX_PLATFORMS over the site hook's pin (validate.py pattern)
     from recnext_tpu.utils.platform import honor_env_platform

@@ -294,16 +294,14 @@ def main(argv=None):
     from recnext_tpu.utils.watchdog import require_devices
 
     enable_compile_cache(args.compile_cache or None)
-    # fail with rc=17 + a JSON error line instead of hanging forever when the
-    # tunnel is down (same contract as bench.py; utils/watchdog.py)
-    require_devices(metric=f"serve_{args.model}_device_init")
 
     if args.check:
         # The TPU is single-client: the server process already holds the chip,
         # so the checker's direct model must NOT touch it or it blocks until
-        # the server exits. Run the direct reference on CPU in f32 (unless the
-        # user pinned a platform explicitly) and compare with a cross-precision
-        # tolerance against the server's bf16 output.
+        # the server exits. Pin CPU BEFORE any device init (no require_devices
+        # here — that would probe the held chip), run the direct reference in
+        # f32, and compare with a cross-precision tolerance against the
+        # server's bf16 output.
         atol = 1e-3
         if not os.environ.get("JAX_PLATFORMS"):
             try:
@@ -316,6 +314,10 @@ def main(argv=None):
                            packed=False if args.no_packed else None)
         ok = check_server(args.check, ref, args.image, atol=atol)
         raise SystemExit(0 if ok else 1)
+
+    # fail with rc=17 + a JSON error line instead of hanging forever when the
+    # tunnel is down (same contract as bench.py; utils/watchdog.py)
+    require_devices(metric=f"serve_{args.model}_device_init")
 
     model = ServingModel(args.archive, args.model, max_batch=args.max_batch,
                          input_size=args.input_size,

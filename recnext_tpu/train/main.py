@@ -244,11 +244,11 @@ def main(argv=None):
     sched = cosine_schedule(lr, steps_per_epoch, args.epochs, args.warmup_epochs,
                             args.cooldown_epochs, args.warmup_lr, args.min_lr)
     # under optax.MultiSteps the inner schedule advances once per k micro-steps,
-    # so the optimizer's copy must count UPDATES per epoch, not micro-steps —
-    # otherwise the applied schedule runs k times too slowly
-    sched_opt = sched if args.grad_accum <= 1 else cosine_schedule(
-        lr, max(steps_per_epoch // args.grad_accum, 1), args.epochs,
-        args.warmup_epochs, args.cooldown_epochs, args.warmup_lr, args.min_lr)
+    # so the optimizer's copy must count UPDATES, not micro-steps — otherwise
+    # the applied schedule runs k times too slowly. Map update count back to
+    # micro-steps (exact for any steps_per_epoch, no floor-division drift).
+    sched_opt = (sched if args.grad_accum <= 1
+                 else (lambda u: sched(u * args.grad_accum)))
     tx = make_optimizer(sched_opt, args.weight_decay, args.clip_grad,
                         grad_accum=args.grad_accum)
     state = TrainState.create(variables, tx, ema=not args.no_model_ema)

@@ -39,7 +39,11 @@ def cosine_schedule(
     discards that extension, so its de-facto cooldown is 0), and because the
     reference calls lr_scheduler.step(epoch) with the just-FINISHED epoch index
     (main.py:413; timm's train script passes epoch+1), the lr used during epoch
-    e is the schedule at t = max(e-1, 0).
+    e is the schedule at t = max(e-1, 0). NOTE: cooldown_epochs does not change
+    this function — the t >= epochs clamp already yields min_lr for however
+    many extra epochs the CALLER runs (train/main.py extends its loop bound by
+    cooldown_epochs); the parameter is accepted only so recipe plumbing can
+    pass it through one place.
 
     Verified value-exact against the committed reference log
     logs/normal/recnext_m1_without_distill_300e.txt (base 2e-3: epoch 4 →
