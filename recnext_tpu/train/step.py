@@ -2,7 +2,7 @@
 
 This is the TPU-native replacement for the reference hot loop
 (/root/reference/engine.py:21-109): forward in bf16 under jit, distillation loss,
-AGC + AdamW update, per-step EMA, global-batch BN statistics (SyncBN for free), and
+AGC + AdamW update, per-optimizer-update EMA, global-batch BN statistics (SyncBN for free), and
 psum'd metrics — all inside ONE compiled program per step. No DDP wrapper, no loss
 scaler, no cuda.synchronize.
 """
