@@ -249,6 +249,7 @@ class TrainTransform:
 
     size: int = 224
     three_augment: bool = False
+    auto_augment: bool = True  # False = the reference's `--aa ''` (jitter-only)
     ra_magnitude: float = 9.0
     jitter: float = 0.4
     reprob: float = 0.25
@@ -265,11 +266,14 @@ class TrainTransform:
             img = three_augment_choice(rng, img)
             if self.jitter:
                 img = color_jitter(rng, img, self.jitter)
-        else:
+        elif self.auto_augment:
             # timm create_transform: auto_augment REPLACES color jitter
             # ("elif color_jitter is not None" — transforms_factory.py); the
             # reference's default recipe (aa=rand-m9-mstd0.5-inc1) runs RA only
             img = rand_augment(rng, img, magnitude=self.ra_magnitude)
+        elif self.jitter:
+            # the reference's `--aa ''` path: no AA, ColorJitter applies
+            img = color_jitter(rng, img, self.jitter)
         arr = normalize(img)
         if self.reprob:
             arr = random_erasing(rng, arr, p=self.reprob)

@@ -68,6 +68,9 @@ def parse_args(argv=None):
                    help="RRC+flip+normalize only (no RA/jitter/erasing)")
     p.add_argument("--fake-classes", type=int, default=1000)
     p.add_argument("--aa-magnitude", type=float, default=9.0)
+    p.add_argument("--no-aa", action="store_true",
+                   help="disable RandAugment (the reference's --aa ''); per "
+                        "timm create_transform, color jitter then applies")
     p.add_argument("--color-jitter", type=float, default=0.4)
     p.add_argument("--reprob", type=float, default=0.25)
     p.add_argument("--no-repeated-aug", action="store_true")
@@ -405,6 +408,7 @@ def main(argv=None):
         tt = SimpleTrainTransform(args.input_size)
     else:
         tt = TrainTransform(args.input_size, three_augment=args.ThreeAugment,
+                            auto_augment=not args.no_aa,
                             ra_magnitude=args.aa_magnitude, jitter=args.color_jitter,
                             reprob=args.reprob)
     for epoch in range(start_epoch, args.epochs + args.cooldown_epochs):

@@ -126,6 +126,13 @@ def test_jitter_only_on_three_augment_branch():
                               reprob=0.0).post_crop(np.random.default_rng(1), img)
     assert not np.array_equal(ta, ta_nojit)  # 3A branch DOES jitter
 
+    # the reference's `--aa ''` path: no RA, jitter applies
+    noaa = TrainTransform(size=32, auto_augment=False, reprob=0.0).post_crop(
+        np.random.default_rng(1), img)
+    noaa_nojit = TrainTransform(size=32, auto_augment=False, jitter=0.0,
+                                reprob=0.0).post_crop(np.random.default_rng(1), img)
+    assert not np.array_equal(noaa, noaa_nojit)
+
 
 def test_inat_dataset(tmp_path):
     import json
