@@ -76,22 +76,38 @@ def center_crop_rect(w: int, h: int, size: int, crop_pct: float = 224 / 256):
     (size x size) crop: (cx, cy, cw, ch). Single source of truth for the
     short-side-resize rounding, shared with the native loader's fused
     crop-resample path (data/loader.py) so its geometry is EXACTLY the PIL
-    path's."""
-    scale_size = int(round(size / crop_pct))
+    path's.
+
+    Rounding is timm/torchvision-exact (the reference's eval pipeline,
+    /root/reference/data/datasets.py:130-136 -> torchvision Resize):
+    scale_size = floor(size / crop_pct) (timm transforms_imagenet_eval) and the
+    long side of the aspect-preserving resize truncates, int(scale*long/short)
+    (torchvision F.resize), and the crop offset is int(round(diff/2.0)) —
+    Python banker's rounding, torchvision F.center_crop — not diff//2. The
+    earlier round()/floor choices diverged from the reference by 1px at
+    crop_pct != 0.875, non-square aspect ratios, or (resized - size) ≡ 3
+    (mod 4) — caught by the cross-harness eval loop
+    (tests/test_cross_harness.py)."""
+    scale_size = int(size / crop_pct)  # floor; exact at 224/0.875 -> 256
     if w <= h:
-        nw, nh = scale_size, max(1, int(round(h * scale_size / w)))
+        nw, nh = scale_size, max(1, int(scale_size * h / w))
     else:
-        nh, nw = scale_size, max(1, int(round(w * scale_size / h)))
+        nh, nw = scale_size, max(1, int(scale_size * w / h))
     sx, sy = w / nw, h / nh
-    x, y = (nw - size) // 2, (nh - size) // 2
+    x, y = _crop_offset(nw, size), _crop_offset(nh, size)
     return x * sx, y * sy, size * sx, size * sy, (nw, nh)
+
+
+def _crop_offset(full: int, crop: int) -> int:
+    """torchvision F.center_crop offset: int(round((full - crop) / 2.0))."""
+    return int(round((full - crop) / 2.0))
 
 
 def resize_center_crop(img: Image.Image, size: int, crop_pct: float = 224 / 256) -> Image.Image:
     w, h = img.size
     _, _, _, _, (nw, nh) = center_crop_rect(w, h, size, crop_pct)
     img = img.resize((nw, nh), BICUBIC)
-    x, y = (nw - size) // 2, (nh - size) // 2
+    x, y = _crop_offset(nw, size), _crop_offset(nh, size)
     return img.crop((x, y, x + size, y + size))
 
 
