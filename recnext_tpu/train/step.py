@@ -123,24 +123,68 @@ def make_train_step(
     return train_step
 
 
+def eval_metrics(logits, labels):
+    """Summed correct counts + CE loss so results aggregate exactly across
+    shards/batches (engine.py:78-109 counterpart); padded tail rows carry -1."""
+    valid = labels >= 0
+    top5 = jnp.argsort(logits, axis=-1)[:, -5:]
+    acc1 = jnp.sum((top5[:, -1] == labels) & valid)
+    acc5 = jnp.sum(jnp.any(top5 == labels[:, None], axis=-1) & valid)
+    # summed CE loss over valid rows -> per-epoch test_loss (engine.py:78-109
+    # logs criterion(output, target); reference log key `test_loss`)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, jnp.maximum(labels, 0)[:, None], axis=-1)[:, 0]
+    loss_sum = jnp.sum(jnp.where(valid, ce, 0.0))
+    return {"correct1": acc1, "correct5": acc5, "loss_sum": loss_sum,
+            "count": jnp.sum(valid.astype(jnp.int32))}
+
+
 def make_eval_step(model, *, ema: bool = False):
-    """eval_step(state, batch) -> metrics dict with summed correct counts so results
-    aggregate exactly across shards/batches (engine.py:78-109 counterpart)."""
+    """eval_step(state, batch) -> metrics dict (unfused model forward)."""
 
     def eval_step(state: TrainState, batch):
         variables = state.variables(ema=ema)
         logits = model.apply(variables, batch["image"], training=False)
-        labels = batch["label"]
-        valid = labels >= 0  # padded tail rows carry label -1
-        top5 = jnp.argsort(logits, axis=-1)[:, -5:]
-        acc1 = jnp.sum((top5[:, -1] == labels) & valid)
-        acc5 = jnp.sum(jnp.any(top5 == labels[:, None], axis=-1) & valid)
-        # summed CE loss over valid rows -> per-epoch test_loss (engine.py:78-109
-        # logs criterion(output, target); reference log key `test_loss`)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        ce = -jnp.take_along_axis(logp, jnp.maximum(labels, 0)[:, None], axis=-1)[:, 0]
-        loss_sum = jnp.sum(jnp.where(valid, ce, 0.0))
-        return {"correct1": acc1, "correct5": acc5, "loss_sum": loss_sum,
-                "count": jnp.sum(valid.astype(jnp.int32))}
+        return eval_metrics(logits, batch["label"])
+
+    return eval_step
+
+
+def make_fused_eval_step(cfg, *, ema: bool = False, fused_model=None,
+                         packed: bool = True, dtype=jnp.bfloat16):
+    """Eval through BN-FUSED weights, lane-packed for the m/a families — the
+    in-training counterpart of `validate.py --fused --packed`.
+
+    The reference evaluates the raw (unfused) model every epoch
+    (/root/reference/engine.py:78-109); folding BN is a pure parameter
+    transform, so each eval epoch can run the deployment graph instead —
+    measured ~25% faster per eval forward on v5e (PERF.md round-3 component
+    table: 35.1 ms unfused vs ~27 ms fused+packed). `fuse_params(..., xp=jnp)`
+    traces INTO this step: no host round-trip, the fold is a few elementwise
+    ops per parameter amortized over the batch. Numerics: BN folding is exact
+    up to fp32 re-association; the packed executor is bit-exact vs the fused
+    model (tests/test_packed_infer.py).
+
+    `cfg` is the RecNextConfig of the TRAINING model (same num_classes /
+    overrides). Non-m/a families need `fused_model` = create_model(name,
+    fused=True, ...)."""
+    from recnext_tpu.fusion import fuse_params
+    from recnext_tpu.models.packed_infer import packed_apply
+
+    use_packed = packed and cfg.family in ("m", "a")
+    if not use_packed and fused_model is None:
+        raise ValueError("non-packed fused eval needs fused_model")
+
+    def eval_step(state: TrainState, batch):
+        fused = fuse_params(state.variables(ema=ema), xp=jnp)
+        # the packed executor computes in the INPUT dtype (the loader hands
+        # fp32); cast to the training compute dtype so fused eval is the bf16
+        # deployment graph, like the fused_model path's internal cast
+        x = batch["image"].astype(dtype)
+        if use_packed:
+            logits = packed_apply(fused, cfg, x)
+        else:
+            logits = fused_model.apply(fused, x, training=False)
+        return eval_metrics(logits, batch["label"])
 
     return eval_step

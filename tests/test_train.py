@@ -262,3 +262,63 @@ def test_sharded_inference_with_packed_executor():
     with mesh:
         got = np.asarray(infer(x))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-5)
+
+
+def test_fuse_params_traceable_matches_numpy():
+    """fuse_params(xp=jnp) under jit produces the same fused tree as the host
+    numpy transform — the in-training fused eval relies on this (no host
+    round-trip; train/step.py:make_fused_eval_step). Covers the dual-head
+    classifier (TINY is distillation=True) and the L family's RepVGGDW
+    (.at-based center add)."""
+    from recnext_tpu.fusion import fuse_params
+
+    l_cfg = RecNextConfig(name="small_l", family="l", embed_dim=(16, 32, 64, 128),
+                          depth=(1, 1, 2, 2), mlp_ratio=(2, 2, 2, 1.5),
+                          num_heads=(1, 1, 1, 2), split_rates=(4, 4, 4, 4),
+                          num_classes=10)
+    for cfg in (TINY, l_cfg):
+        model = RecNext(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+        want = fuse_params(variables)  # numpy path
+        got = jax.jit(lambda v: fuse_params(v, xp=jnp))(variables)
+        assert jax.tree.structure(want) == jax.tree.structure(got)
+        for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-6, rtol=1e-6)
+
+
+def test_fused_eval_step_matches_unfused():
+    """make_fused_eval_step (BN-fused + lane-packed deployment graph) counts the
+    same correct/valid totals as the reference-style unfused eval, for the
+    packed m family, the fused-model L family, and the EMA weight set."""
+    from recnext_tpu.train.step import make_fused_eval_step
+
+    rng = np.random.default_rng(3)
+    batch = {"image": jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32)),
+             "label": jnp.asarray([0, 1, 2, 3, 4, 5, -1, -1], jnp.int32)}
+
+    l_cfg = RecNextConfig(name="small_l", family="l", embed_dim=(16, 32, 64, 128),
+                          depth=(1, 1, 2, 2), mlp_ratio=(2, 2, 2, 1.5),
+                          num_heads=(1, 1, 1, 2), split_rates=(4, 4, 4, 4),
+                          num_classes=10)
+    for cfg in (TINY, l_cfg):
+        model = RecNext(cfg=cfg)
+        variables = model.init(jax.random.PRNGKey(1), batch["image"][:1])
+        # perturb BN stats so fusion is non-trivial
+        variables["batch_stats"] = jax.tree.map(
+            lambda s: s + 0.1 * jnp.abs(jnp.asarray(
+                rng.normal(size=s.shape), s.dtype)) + 0.05,
+            variables["batch_stats"])
+        state = TrainState.create(variables, make_optimizer(1e-3))
+        fused_model = (RecNext(cfg=cfg, fused=True)
+                       if cfg.family not in ("m", "a") else None)
+        for ema in (False, True):
+            want = jax.jit(make_eval_step(model, ema=ema))(state, batch)
+            got = jax.jit(make_fused_eval_step(
+                cfg, ema=ema, fused_model=fused_model,
+                dtype=jnp.float32))(state, batch)
+            assert int(got["count"]) == int(want["count"]) == 6
+            assert int(got["correct1"]) == int(want["correct1"])
+            assert int(got["correct5"]) == int(want["correct5"])
+            np.testing.assert_allclose(float(got["loss_sum"]),
+                                       float(want["loss_sum"]), rtol=1e-4)
