@@ -16,7 +16,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-def _bench_variables(model_name: str, dtype, **model_kwargs):
+def _bench_variables(model_name: str, dtype, image_size: int = 224, **model_kwargs):
     """Shape-correct fused params without ANY init compile: eval_shape the unfused
     init (pure tracing), materialize ones on host, run the numpy fusion transform.
     Values are irrelevant for throughput; compiling init (CPU or TPU) costs minutes."""
@@ -26,7 +26,7 @@ def _bench_variables(model_name: str, dtype, **model_kwargs):
     from recnext_tpu.models.registry import create_model
 
     model = create_model(model_name, dtype=dtype, **model_kwargs)
-    x0 = jnp.zeros((1, 224, 224, 3), dtype)
+    x0 = jnp.zeros((1, image_size, image_size, 3), dtype)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)
     variables = jax.tree.map(lambda s: np.ones(s.shape, s.dtype), shapes)
     return fuse_params(variables)
@@ -51,7 +51,8 @@ def _is_vmem_compile_error(e: Exception) -> bool:
 
 def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
                warmup_s: float = 5.0, timed_s: float = 10.0,
-               auto_split: bool = True, packed: bool = True, **model_kwargs):
+               auto_split: bool = True, packed: bool = True,
+               image_size: int = 224, **model_kwargs):
     """Returns (images_per_sec, batch_used). If XLA's compile trips the scoped-VMEM
     cliff at the requested batch (the known recnext_a* @512 Mosaic bug, PERF.md),
     auto-retries at half the batch instead of failing the sweep.
@@ -65,7 +66,8 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
     cfg = get_config(model_name, **{k: v for k, v in model_kwargs.items()
                                     if k != "dtype"})
     fused = create_model(model_name, fused=True, dtype=dtype, **model_kwargs)
-    fvars = jax.device_put(_bench_variables(model_name, dtype, **model_kwargs))
+    fvars = jax.device_put(_bench_variables(model_name, dtype, image_size,
+                                            **model_kwargs))
 
     if packed and cfg.family in ("m", "a"):
         from recnext_tpu.models.packed_infer import packed_apply
@@ -87,7 +89,7 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
         # scalar fetch is the only trustworthy drain of the dispatch queue.
         return float(jnp.sum(xx[0, 0, 0]))
 
-    x = jnp.ones((batch, 224, 224, 3), dtype)
+    x = jnp.ones((batch, image_size, image_size, 3), dtype)
     try:
         x = step(fvars, x)
         sync(x)  # compile + first exec
@@ -96,7 +98,7 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
             return throughput(model_name, batch // 2, dtype=dtype,
                               warmup_s=warmup_s, timed_s=timed_s,
                               auto_split=auto_split, packed=packed,
-                              **model_kwargs)
+                              image_size=image_size, **model_kwargs)
         raise
     # warmup: run the chained step for ~warmup_s wall seconds (clock/power
     # settling — the speed_gpu.py:11-27 warmup-loop counterpart)
@@ -137,7 +139,8 @@ def device_latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 200,
     from recnext_tpu.models.registry import create_model
 
     fused = create_model(model_name, fused=True, dtype=dtype, **model_kwargs)
-    fvars = jax.device_put(_bench_variables(model_name, dtype, **model_kwargs))
+    fvars = jax.device_put(_bench_variables(model_name, dtype, image_size,
+                                            **model_kwargs))
 
     def one(carry, _):
         y = fused.apply(fvars, carry, training=False)
@@ -216,8 +219,11 @@ def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
 
 
 def train_throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
-                     timed_s: float = 6.0, **model_kwargs) -> float:
-    """Full training-step throughput (fwd+bwd+AdamW+EMA+mixup) on one chip."""
+                     timed_s: float = 6.0, auto_split: bool = True,
+                     image_size: int = 224, **model_kwargs):
+    """Full training-step throughput (fwd+bwd+AdamW+EMA+mixup) on one chip.
+    Returns (images_per_sec, batch_used); like `throughput`, a scoped-VMEM
+    compile cliff at the requested batch auto-retries at half."""
     import numpy as np
 
     from recnext_tpu.models.registry import create_model
@@ -226,7 +232,7 @@ def train_throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
     from recnext_tpu.train.step import make_train_step
 
     model = create_model(model_name, dtype=dtype, **model_kwargs)
-    x0 = jnp.zeros((1, 224, 224, 3), dtype)
+    x0 = jnp.zeros((1, image_size, image_size, 3), dtype)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)
     variables = jax.tree.map(lambda s: (np.ones(s.shape, s.dtype) * 0.01), shapes)
     tx = make_optimizer(cosine_schedule(1e-3, 1000))
@@ -235,7 +241,7 @@ def train_throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
                    donate_argnums=(0,))
 
     batch_data = {
-        "image": jax.device_put(jnp.ones((batch, 224, 224, 3), dtype)),
+        "image": jax.device_put(jnp.ones((batch, image_size, image_size, 3), dtype)),
         "label": jax.device_put(jnp.zeros((batch,), jnp.int32)),
     }
     rng = jax.random.PRNGKey(0)
@@ -243,8 +249,15 @@ def train_throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
     def sync(st):
         return float(jnp.sum(st.params["stem"]["conv1"]["conv"]["kernel"][0, 0, 0]))
 
-    state, _ = step(state, batch_data, rng)
-    sync(state)
+    try:
+        state, _ = step(state, batch_data, rng)
+        sync(state)
+    except Exception as e:
+        if auto_split and batch > 8 and _is_vmem_compile_error(e):
+            return train_throughput(model_name, batch // 2, dtype=dtype,
+                                    timed_s=timed_s, auto_split=auto_split,
+                                    image_size=image_size, **model_kwargs)
+        raise
     t0 = time.perf_counter()
     for _ in range(2):
         state, _ = step(state, batch_data, rng)
@@ -255,7 +268,7 @@ def train_throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
     for _ in range(iters):
         state, _ = step(state, batch_data, rng)
     sync(state)
-    return iters * batch / (time.perf_counter() - t0)
+    return iters * batch / (time.perf_counter() - t0), batch
 
 
 def main():
@@ -266,6 +279,9 @@ def main():
     p.add_argument("--latency-iters", type=int, default=200,
                    help="scan-chain length for the on-device latency measurement")
     p.add_argument("--train", action="store_true", help="training-step throughput mode")
+    p.add_argument("--image-size", type=int, default=224,
+                   help="square input resolution (the reference ablates at 384, "
+                        "README.md:459-479)")
     p.add_argument("--timed", type=float, default=10.0)
     p.add_argument("--warmup", type=float, default=5.0)
     p.add_argument("--upsample", default="matmul", choices=["gather", "matmul"])
@@ -295,10 +311,12 @@ def main():
     kw = {}
     if args.model.startswith("recnext_m"):
         kw["recconv_upsample"] = args.upsample
+    size = args.image_size
     if args.latency:
-        dev_ms = device_latency_ms(args.model, iters=args.latency_iters, **kw)
+        dev_ms = device_latency_ms(args.model, iters=args.latency_iters,
+                                   image_size=size, **kw)
         lat = latency_ms(args.model, iters=min(args.latency_iters, 100), **kw)
-        rec = {"metric": f"{args.model}_fused_bf16_224_batch1_device_ms",
+        rec = {"metric": f"{args.model}_fused_bf16_{size}_batch1_device_ms",
                "value": round(dev_ms, 3), "unit": "ms",
                "vs_baseline": None,
                "host_p50_ms": round(lat["p50_ms"], 3),
@@ -309,17 +327,22 @@ def main():
         print(json.dumps(rec))
         return
     if args.train:
-        ips = train_throughput(args.model, args.batch, timed_s=args.timed, **kw)
-        print(json.dumps({"metric": f"{args.model}_train_bf16_224_images_per_sec",
-                          "value": round(ips, 2), "unit": "images/sec",
-                          "vs_baseline": None}))
+        ips, used_batch = train_throughput(args.model, args.batch,
+                                           timed_s=args.timed, image_size=size,
+                                           **kw)
+        rec = {"metric": f"{args.model}_train_bf16_{size}_images_per_sec",
+               "value": round(ips, 2), "unit": "images/sec",
+               "vs_baseline": None}
+        if used_batch != args.batch:
+            rec["batch_used"] = used_batch
+        print(json.dumps(rec))
         return
     ips, used_batch = throughput(args.model, args.batch, warmup_s=args.warmup,
                                  timed_s=args.timed, packed=not args.no_packed,
-                                 **kw)
-    base = BASELINES.get(args.model)
+                                 image_size=size, **kw)
+    base = BASELINES.get(args.model) if size == 224 else None
     rec = {
-        "metric": f"{args.model}_fused_bf16_224_images_per_sec",
+        "metric": f"{args.model}_fused_bf16_{size}_images_per_sec",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / base, 3) if base else None,

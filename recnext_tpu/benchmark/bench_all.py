@@ -1,15 +1,19 @@
-"""Sweep fused-inference throughput over the model zoo and write a results table —
-the counterpart of the reference's per-model throughput records
-(/root/reference/upload.py:12-34, measured by speed_gpu.py).
+"""Sweep fused-inference (or full-train-step) throughput over the model zoo and
+write a results table — the counterpart of the reference's per-model throughput
+records (/root/reference/upload.py:12-34, measured by speed_gpu.py). The
+reference publishes no train-throughput table; `--train` produces one anyway.
 
   python -m recnext_tpu.benchmark.bench_all --models recnext_m0 recnext_m1 \
-      --out bench_results.json
+      --latency --out bench_results.json
+  python -m recnext_tpu.benchmark.bench_all --train --batch 256 \
+      --out bench_train_results.json
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import time
 from pathlib import Path
 
 
@@ -27,8 +31,15 @@ def main(argv=None):
     p.add_argument("--models", nargs="+", default=["recnext_m0", "recnext_m1"])
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--timed", type=float, default=6.0)
+    p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--latency", action="store_true",
                    help="also scan-chained batch-1 device latency")
+    p.add_argument("--train", action="store_true",
+                   help="full-train-step throughput (fwd+bwd+AdamW+EMA+mixup) "
+                        "instead of fused inference; use --batch 256 (the "
+                        "measured per-chip sweet spot, PERF.md)")
+    p.add_argument("--stamp", default="",
+                   help="provenance label recorded in every row (e.g. 'round4')")
     p.add_argument("--out", default="bench_results.json")
     p.add_argument("--resume", action="store_true",
                    help="skip models already present in --out (tunnel-outage "
@@ -55,21 +66,35 @@ def main(argv=None):
         if name in done:
             continue
         kw = {"recconv_upsample": "matmul"} if name.startswith("recnext_m") else {}
-        row = {"model": name}
+        # measurement provenance, queried by the docs-truth checks: which sweep
+        # produced the number, at what resolution, when
+        row = {"model": name, "image_size": args.image_size,
+               "measured_utc": time.strftime("%Y-%m-%d", time.gmtime())}
+        if args.stamp:
+            row["stamp"] = args.stamp
         try:
-            ips, used_batch = bench_mod.throughput(name, args.batch,
-                                                   timed_s=args.timed, **kw)
-            row.update(images_per_sec=round(ips, 1), batch=used_batch)
+            if args.train:
+                ips, used_batch = bench_mod.train_throughput(
+                    name, args.batch, timed_s=args.timed,
+                    image_size=args.image_size, **kw)
+                row.update(train_images_per_sec=round(ips, 1), batch=used_batch)
+            else:
+                ips, used_batch = bench_mod.throughput(
+                    name, args.batch, timed_s=args.timed,
+                    image_size=args.image_size, **kw)
+                row.update(images_per_sec=round(ips, 1), batch=used_batch)
+                base = (bench_mod.BASELINES.get(name)
+                        if args.image_size == 224 else None)
+                if base:
+                    row["rtx3090_baseline"] = base
+                    row["vs_baseline"] = round(ips / base, 3)
+                if args.latency:
+                    # scan-chained on-device batch-1 latency (RTT-free; bench.py)
+                    row["batch1_device_ms"] = round(
+                        bench_mod.device_latency_ms(
+                            name, image_size=args.image_size, **kw), 3)
             if used_batch != args.batch:
                 row["batch_auto_split"] = True  # scoped-VMEM cliff (PERF.md)
-            base = bench_mod.BASELINES.get(name)
-            if base:
-                row["rtx3090_baseline"] = base
-                row["vs_baseline"] = round(ips / base, 3)
-            if args.latency:
-                # scan-chained on-device batch-1 latency (RTT-free; bench.py)
-                row["batch1_device_ms"] = round(
-                    bench_mod.device_latency_ms(name, **kw), 3)
         except Exception as e:  # keep sweeping; rerun with --resume to retry
             row["error"] = f"{type(e).__name__}: {e}"[:300]
         rows.append(row)
