@@ -371,3 +371,73 @@ def test_torch_fused_import_through_packed_executor(family):
     y_p = np.asarray(packed_apply(variables, cfg, jnp.asarray(to_nhwc(x_t)),
                                   group=2))
     np.testing.assert_allclose(y_p, y_t, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("family", ["m", "a"])
+def test_parity_at_384(family):
+    """Resolution generality (the reference ablates at 384²,
+    /root/reference/README.md:459-479): golden parity vs the reference source
+    at 384 input — the stage pyramid runs 96/48/24/12 with RecConv levels
+    reaching 6×6/3×3 at stage 3, a different odd/even chain than 224's
+    56/28/14/7 — plus the packed executor at the same size."""
+    cfg = SMALL[family]
+    torch.manual_seed(21)
+    tm = _torch_model(family, cfg).eval()
+    _randomize_bn_stats(tm, seed=21)
+    x_t = torch.randn(1, 3, 384, 384)
+    with torch.no_grad():
+        y_t = tm(x_t).numpy()
+    variables = torch_to_flax(tm.state_dict())
+    fm = RecNext(cfg=cfg)
+    y_j = np.asarray(jax.jit(
+        lambda v, x: fm.apply(v, x, training=False))(variables,
+                                                     jnp.asarray(to_nhwc(x_t))))
+    np.testing.assert_allclose(y_j, y_t, atol=5e-4, rtol=1e-4)
+
+    from recnext_tpu.fusion import fuse_params
+    from recnext_tpu.models.packed_infer import packed_apply
+
+    fused_vars = fuse_params(variables)
+    fmf = RecNext(cfg=cfg, fused=True)
+    y_jf = np.asarray(jax.jit(
+        lambda v, x: fmf.apply(v, x, training=False))(fused_vars,
+                                                      jnp.asarray(to_nhwc(x_t))))
+    y_p = np.asarray(jax.jit(
+        lambda v, x: packed_apply(v, cfg, x, group=2))(
+            {"params": fused_vars["params"]},
+            jnp.asarray(np.repeat(to_nhwc(x_t), 2, axis=0))))
+    np.testing.assert_allclose(y_p[0], y_jf[0], atol=5e-4, rtol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["recnext_m1", "recnext_a1"])
+def test_full_flagship_parity_at_384(name):
+    """FULL m1/a1 configs at 384² golden vs the reference source (the exact
+    models/resolution of the README 384 ablation rows, README.md:459-479),
+    unfused + fused."""
+    from recnext_tpu.convert import torch_fused_to_flax
+    from recnext_tpu.models.registry import get_config
+
+    cfg = get_config(name, num_classes=1000)
+    torch.manual_seed(13)
+    tm = _torch_model(cfg.family, cfg).eval()
+    _randomize_bn_stats(tm, seed=13)
+    x_t = torch.randn(1, 3, 384, 384)
+    with torch.no_grad():
+        y_t = tm(x_t).numpy()
+    variables = torch_to_flax(tm.state_dict())
+    fm = RecNext(cfg=cfg)
+    y_j = np.asarray(jax.jit(
+        lambda v, x: fm.apply(v, x, training=False))(variables,
+                                                     jnp.asarray(to_nhwc(x_t))))
+    np.testing.assert_allclose(y_j, y_t, atol=2e-3, rtol=1e-4)
+
+    tm.fuse()
+    fused_vars = torch_fused_to_flax(tm.state_dict(), family=cfg.family)
+    with torch.no_grad():
+        y_tf = tm(x_t).numpy()
+    fmf = RecNext(cfg=cfg, fused=True)
+    y_jf = np.asarray(jax.jit(
+        lambda v, x: fmf.apply(v, x, training=False))(fused_vars,
+                                                      jnp.asarray(to_nhwc(x_t))))
+    np.testing.assert_allclose(y_jf, y_tf, atol=2e-3, rtol=1e-4)
