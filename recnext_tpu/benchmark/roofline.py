@@ -1,0 +1,203 @@
+"""Model-level compute-roofline analysis: how close each variant's measured
+throughput is to the chip's speed of light.
+
+The reference frames speed only relatively (img/s vs other models,
+/root/reference/speed_gpu.py); the RecConv op-level analysis here (PERF.md
+"Where m1's 31.7 ms goes") already stated the VPU bound for one op — this tool
+extends it to every registry variant so the headline table can say "X% of the
+compute roofline", an absolute claim.
+
+Method: trace the FUSED inference forward to a jaxpr (pure tracing — no compile,
+no device) and classify every primitive onto the engine that executes it:
+
+* MXU  — dense contractions: `dot_general`, and `conv_general_dilated` with
+  feature_group_count == 1 (1x1/3x3 dense convs). Grouped-but-not-depthwise
+  convs (the L family's gcd-grouped downsample) also ride the MXU per group.
+* VPU  — depthwise convs (feature_group_count == out_channels: 25 MACs/elem for
+  a 5x5 runs on the 8x128 vector unit, PERF.md RecConv analysis) plus all
+  elementwise arithmetic (add/mul/erfc/...), counted per output element.
+
+Bounds (one v5e chip, public peaks):
+* MXU bf16: 197 TFLOP/s = 98.5 T MAC/s.
+* VPU: 8 sublanes x 128 lanes @ ~0.94 GHz ~= 0.96 T op/s (FMA = 1 op), the same
+  number the RecConv op analysis used (960 GMAC/s).
+
+compute_bound_ms = max(mxu_ms, vpu_ms) per image — the engines overlap, so the
+max is the speed-of-light floor; utilization = bound / measured. Layout ops
+(transpose/broadcast/convert) and HBM traffic are excluded: the op-level
+analysis showed the RecConv chain is NOT HBM-bound at these shapes, and the gap
+to 100% is exactly the relayout/per-op overhead the lane-packing campaign
+measured (PERF.md round 2-3).
+
+  python -m recnext_tpu.benchmark.roofline --results bench_results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from math import prod
+from pathlib import Path
+
+MXU_MAC_PER_S = 98.5e12   # v5e bf16: 197 TFLOP/s
+VPU_OP_PER_S = 0.96e12    # 8x128 lanes @ ~0.94 GHz, FMA = 1 op
+
+# pure data-movement / bookkeeping primitives: no ALU work attributed
+_FREE = {
+    "convert_element_type", "broadcast_in_dim", "transpose", "copy", "reshape",
+    "squeeze", "slice", "dynamic_slice", "dynamic_update_slice", "concatenate",
+    "rev", "gather", "scatter", "pad", "iota", "stop_gradient", "select_n",
+    "reduce_precision", "bitcast_convert_type",
+}
+# transcendentals cost several VPU ops; everything else elementwise costs 1
+_COSTLY = {"erf": 4, "erfc": 4, "exp": 4, "log": 4, "tanh": 4, "logistic": 4,
+           "rsqrt": 2, "sqrt": 2, "div": 2, "pow": 8}
+
+
+def _conv_macs(eqn) -> tuple[float, bool]:
+    """(MACs, is_depthwise) for a conv_general_dilated eqn."""
+    out = eqn.outvars[0].aval.shape
+    rhs = eqn.invars[1].aval.shape
+    dn = eqn.params["dimension_numbers"]
+    fgc = eqn.params["feature_group_count"]
+    kh_kw = [rhs[i] for i in dn.rhs_spec[2:]]
+    cin_per_group = rhs[dn.rhs_spec[1]]
+    out_ch = rhs[dn.rhs_spec[0]]
+    macs = prod(out) * prod(kh_kw) * cin_per_group
+    return float(macs), fgc == out_ch and cin_per_group == 1
+
+
+def _dot_macs(eqn) -> float:
+    lhs, rhs = (v.aval.shape for v in eqn.invars)
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    k = prod(lhs[i] for i in lc)
+    b = prod(lhs[i] for i in lb)
+    m = prod(lhs[i] for i in range(len(lhs)) if i not in set(lc) | set(lb))
+    n = prod(rhs[i] for i in range(len(rhs)) if i not in set(rc) | set(rb))
+    return float(b * m * n * k)
+
+
+def analyze_jaxpr(jaxpr) -> dict:
+    """{mxu_macs, vpu_macs, vpu_elementwise_ops} for a (Closed)Jaxpr, recursing
+    through pjit/cond/scan (scan bodies scaled by trip count)."""
+    tot = {"mxu_macs": 0.0, "vpu_macs": 0.0, "vpu_elementwise_ops": 0.0}
+
+    def add(dst, src, scale=1.0):
+        for k in dst:
+            dst[k] += src[k] * scale
+
+    def walk(jx, tot):
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            if sub is not None:
+                inner = {k: 0.0 for k in tot}
+                walk(getattr(sub, "jaxpr", sub), inner)
+                add(tot, inner, float(eqn.params.get("length", 1))
+                    if name == "scan" else 1.0)
+                continue
+            if "branches" in eqn.params:  # cond: bound by the costliest branch
+                best = {k: 0.0 for k in tot}
+                for br in eqn.params["branches"]:
+                    inner = {k: 0.0 for k in tot}
+                    walk(br.jaxpr, inner)
+                    if sum(inner.values()) > sum(best.values()):
+                        best = inner
+                add(tot, best)
+                continue
+            if name == "conv_general_dilated":
+                macs, dw = _conv_macs(eqn)
+                tot["vpu_macs" if dw else "mxu_macs"] += macs
+            elif name == "dot_general":
+                tot["mxu_macs"] += _dot_macs(eqn)
+            elif name in _FREE or not eqn.outvars:
+                continue
+            else:
+                shape = getattr(eqn.outvars[0].aval, "shape", ())
+                tot["vpu_elementwise_ops"] += prod(shape) * _COSTLY.get(name, 1)
+
+    walk(jaxpr.jaxpr, tot)
+    return tot
+
+
+def model_roofline(model_name: str, image_size: int = 224,
+                   batch: int = 256) -> dict:
+    """Per-IMAGE engine times + the speed-of-light bound for the fused fwd."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from recnext_tpu.fusion import fuse_params
+    from recnext_tpu.models.registry import create_model
+
+    model = create_model(model_name, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)
+    variables = jax.tree.map(lambda s: np.ones(s.shape, s.dtype), shapes)
+    fv = fuse_params(variables)
+    fused = create_model(model_name, fused=True, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, image_size, image_size, 3), jnp.bfloat16)
+    jaxpr = jax.make_jaxpr(lambda v, xx: fused.apply(v, xx, training=False))(fv, x)
+    t = analyze_jaxpr(jaxpr)
+    mxu_ms = t["mxu_macs"] / MXU_MAC_PER_S / batch * 1e3
+    vpu_ms = ((t["vpu_macs"] + t["vpu_elementwise_ops"])
+              / VPU_OP_PER_S / batch * 1e3)
+    return {
+        "model": model_name,
+        "mxu_gmacs_per_img": round(t["mxu_macs"] / batch / 1e9, 4),
+        "vpu_gmacs_per_img": round(t["vpu_macs"] / batch / 1e9, 4),
+        "vpu_gops_elementwise_per_img": round(
+            t["vpu_elementwise_ops"] / batch / 1e9, 4),
+        "mxu_bound_ms": round(mxu_ms, 4),
+        "vpu_bound_ms": round(vpu_ms, 4),
+        "compute_bound_ms_per_img": round(max(mxu_ms, vpu_ms), 4),
+        "bound_engine": "mxu" if mxu_ms >= vpu_ms else "vpu",
+    }
+
+
+def main(argv=None):
+    from recnext_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", nargs="*", default=None,
+                   help="default: every model in --results (or the registry)")
+    p.add_argument("--results", default=None,
+                   help="bench_results.json — adds measured ms/img + utilization%")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--out", default=None, help="write rows as JSON")
+    args = p.parse_args(argv)
+
+    measured = {}
+    if args.results:
+        for r in json.loads(Path(args.results).read_text()):
+            if "images_per_sec" in r:
+                measured[r["model"]] = r["images_per_sec"]
+    names = args.models
+    if not names:
+        if measured:
+            names = list(measured)
+        else:
+            from recnext_tpu.models.registry import list_models
+
+            names = list_models()
+
+    rows = []
+    for name in names:
+        row = model_roofline(name, image_size=args.image_size)
+        ips = measured.get(name)
+        if ips:
+            meas_ms = 1e3 / ips
+            row["measured_ms_per_img"] = round(meas_ms, 4)
+            row["roofline_utilization_pct"] = round(
+                100 * row["compute_bound_ms_per_img"] / meas_ms, 1)
+        rows.append(row)
+        print(json.dumps(row))
+    if args.out:
+        Path(args.out).write_text(json.dumps(rows, indent=2))
+    return rows
+
+
+if __name__ == "__main__":
+    main()

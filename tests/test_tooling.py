@@ -448,3 +448,36 @@ def test_model_kwargs_overrides(tmp_path):
 
     m = create_model("recnext_m0", **parse_kv_overrides("recconv_kernel_size=3"))
     assert m.cfg.recconv_kernel_size == 3
+
+
+def test_roofline_mac_split_cross_checks_cost_analysis():
+    """roofline.py's jaxpr MAC classification (MXU dense vs VPU depthwise) must
+    sum to the same total as XLA's own cost analysis (benchmark/flops.py,
+    fvcore-convention MACs = flops/2) within the tolerance XLA's fusion-level
+    accounting introduces — and the m family must be VPU-bound (PERF.md: the
+    RecConv depthwise chain is the critical engine, MXU is nearly idle)."""
+    from recnext_tpu.benchmark.flops import model_flops
+    from recnext_tpu.benchmark.roofline import model_roofline
+
+    row = model_roofline("recnext_m0", batch=1)
+    jaxpr_macs = row["mxu_gmacs_per_img"] + row["vpu_gmacs_per_img"]
+    _, macs = model_flops("recnext_m0", 224, fused=True)
+    assert abs(jaxpr_macs - macs / 1e9) / (macs / 1e9) < 0.20
+    assert row["bound_engine"] == "vpu"
+    assert row["compute_bound_ms_per_img"] == row["vpu_bound_ms"] > 0
+
+
+def test_roofline_utilization_from_results(tmp_path, capsys):
+    import json
+
+    from recnext_tpu.benchmark import roofline
+
+    res = tmp_path / "r.json"
+    res.write_text(json.dumps(
+        [{"model": "recnext_m0", "images_per_sec": 10000.0}]))
+    rows = roofline.main(["--results", str(res),
+                          "--out", str(tmp_path / "out.json")])
+    assert rows[0]["measured_ms_per_img"] == 0.1
+    want = round(100 * rows[0]["compute_bound_ms_per_img"] / 0.1, 1)
+    assert rows[0]["roofline_utilization_pct"] == want
+    assert json.loads((tmp_path / "out.json").read_text())[0]["model"] == "recnext_m0"
