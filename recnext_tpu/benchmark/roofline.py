@@ -112,6 +112,10 @@ def analyze_jaxpr(jaxpr) -> dict:
                 tot["mxu_macs"] += _dot_macs(eqn)
             elif name in _FREE or not eqn.outvars:
                 continue
+            elif name.startswith("reduce_") or name in ("argmax", "argmin"):
+                # a reduction touches every INPUT element once
+                shape = getattr(eqn.invars[0].aval, "shape", ())
+                tot["vpu_elementwise_ops"] += prod(shape)
             else:
                 shape = getattr(eqn.outvars[0].aval, "shape", ())
                 tot["vpu_elementwise_ops"] += prod(shape) * _COSTLY.get(name, 1)
