@@ -122,29 +122,37 @@ def assign_anchors(
 
 
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, *, iou_thresh: float = 0.5,
-        max_out: int = 100) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        max_out: int = 100, iou: jnp.ndarray | None = None
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-shape greedy NMS under jit: returns (indices, keep_mask) of max_out
-    selections; unused slots have keep_mask False."""
-    n = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    boxes_s = boxes[order]
-    scores_s = scores[order]
-    iou = box_iou(boxes_s, boxes_s)
+    selections in descending-score order; unused slots have keep_mask False.
+    Scores <= 0 are never kept (callers zero sub-threshold scores).
 
-    def body(i, suppressed):
-        sup_i = suppressed[i]
-        kill = (iou[i] > iou_thresh) & (jnp.arange(n) > i) & jnp.logical_not(sup_i)
-        return jnp.where(kill, True, suppressed)
+    TPU-shaped formulation: a lax.scan of max_out argmax picks over the raw
+    (unsorted) boxes — each pick suppresses its IoU>thresh neighbours by
+    masking them to -inf, so only KEPT boxes ever suppress (exact greedy-NMS
+    semantics, same first-index tie-break as sort-based NMS). This needs no
+    per-call argsort/box-gather and runs O(max_out·N) instead of the O(N²)
+    suppression sweep, and the IoU matrix can be passed in precomputed —
+    `multiclass_nms` shares ONE (N,N) matrix across all classes, where the
+    per-class-sorted formulation materialized (C,N,N) (171 GB for RetinaNet
+    @512², the round-4 OOM this rewrite fixed)."""
+    if iou is None:
+        iou = box_iou(boxes, boxes)
+    neg = jnp.float32(-jnp.inf)
 
-    suppressed = jax.lax.fori_loop(0, n, body, jnp.zeros(n, bool))
-    keep = jnp.logical_not(suppressed) & (scores_s > 0)
-    # compact the first max_out kept entries
-    rank = jnp.cumsum(keep) - 1
-    out_idx = jnp.full((max_out,), -1, jnp.int32)
-    out_idx = out_idx.at[jnp.where(keep, rank, max_out)].set(
-        order.astype(jnp.int32), mode="drop")
-    mask = out_idx >= 0
-    return jnp.where(mask, out_idx, 0), mask
+    def pick_one(s, _):
+        i = jnp.argmax(s)
+        v = s[i]
+        # the pick's own row has IoU(i,i)=1 > thresh for any real box; the
+        # explicit .at[i] also covers degenerate zero-area boxes (self-IoU 0)
+        s = jnp.where(iou[i] > iou_thresh, neg, s).at[i].set(neg)
+        return s, (i.astype(jnp.int32), v)
+
+    _, (idx, vals) = jax.lax.scan(pick_one, scores.astype(jnp.float32), None,
+                                  length=max_out)
+    mask = vals > 0
+    return jnp.where(mask, idx, 0), mask
 
 
 def multiclass_nms(
@@ -161,10 +169,14 @@ def multiclass_nms(
 
     Returns (boxes (max_out, 4), scores, labels, valid_mask)."""
     num_classes = probs.shape[-1]
+    # the box set is shared across classes (class-agnostic regression), so the
+    # (N,N) IoU matrix is computed ONCE and closed over by the per-class NMS
+    shared_iou = box_iou(boxes, boxes)
 
     def one_class(scores_c):
         s = jnp.where(scores_c >= score_thresh, scores_c.astype(jnp.float32), 0.0)
-        idx, m = nms(boxes, s, iou_thresh=iou_thresh, max_out=max_out)
+        idx, m = nms(boxes, s, iou_thresh=iou_thresh, max_out=max_out,
+                     iou=shared_iou)
         return boxes[idx], s[idx] * m, m
 
     bx, sc, mk = jax.vmap(one_class, in_axes=1)(probs)  # (C, max_out, ...)
