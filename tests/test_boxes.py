@@ -112,3 +112,47 @@ def test_multiclass_nms_suppresses_same_class():
     _, sc, _, valid = multiclass_nms(boxes, probs, max_out=4)
     assert int(valid.sum()) == 1
     np.testing.assert_allclose(float(sc[0]), 0.9, rtol=1e-6)
+
+
+def test_nms_matches_reference_greedy_on_random_boxes():
+    """The scan-of-argmax NMS (round-4 rewrite: shared-IoU, no per-class sort)
+    must select the exact same boxes, in the same order, as the textbook
+    sort-then-suppress greedy NMS (torchvision.ops.nms semantics) over many
+    random configurations — including duplicate boxes (tie-break = lowest
+    index), zero-area boxes, and sub-threshold scores."""
+    import numpy as np
+
+    from recnext_tpu.tasks.boxes import box_iou, nms
+
+    def reference_nms(boxes, scores, iou_thresh, max_out):
+        order = np.argsort(-scores, kind="stable")
+        iou = np.asarray(box_iou(jnp.asarray(boxes), jnp.asarray(boxes)))
+        kept = []
+        for i in order:
+            if scores[i] <= 0:
+                continue
+            if all(iou[i, j] <= iou_thresh for j in kept):
+                kept.append(int(i))
+            if len(kept) == max_out:
+                break
+        return kept
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(4, 64))
+        xy = rng.uniform(0, 80, size=(n, 2)).astype(np.float32)
+        wh = rng.uniform(0, 30, size=(n, 2)).astype(np.float32)  # 0 => degenerate
+        boxes = np.concatenate([xy, xy + wh], axis=1)
+        if trial % 3 == 0 and n >= 2:
+            boxes[1] = boxes[0]  # exact duplicate: tie-break path
+        scores = rng.uniform(0, 1, size=n).astype(np.float32)
+        scores[rng.uniform(size=n) < 0.2] = 0.0  # sub-threshold slots
+        max_out = int(rng.integers(1, 12))
+        thr = float(rng.uniform(0.3, 0.7))
+
+        idx, mask = jax.jit(
+            lambda b, s: nms(b, s, iou_thresh=thr, max_out=max_out))(
+                jnp.asarray(boxes), jnp.asarray(scores))
+        got = [int(i) for i, m in zip(np.asarray(idx), np.asarray(mask)) if m]
+        want = reference_nms(boxes, scores, thr, max_out)
+        assert got == want, (trial, got, want)
