@@ -172,7 +172,7 @@ def _timed(fn) -> float:
 
 
 def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
-               **model_kwargs) -> dict:
+               image_size: int = 224, **model_kwargs) -> dict:
     """Batch-1 p50 latency (the iPhone/Core-ML latency counterpart measurement,
     /root/reference/README.md:174-176): chained steps, per-iteration scalar drain.
 
@@ -187,7 +187,8 @@ def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
     from recnext_tpu.models.registry import create_model
 
     fused = create_model(model_name, fused=True, dtype=dtype, **model_kwargs)
-    fvars = jax.device_put(_bench_variables(model_name, dtype, **model_kwargs))
+    fvars = jax.device_put(_bench_variables(model_name, dtype, image_size,
+                                            **model_kwargs))
 
     @jax.jit
     def step(v, x):
@@ -209,7 +210,7 @@ def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
             times.append(time.perf_counter() - t0)
         return float(np.percentile(np.asarray(times) * 1e3, 50))
 
-    x = jnp.ones((1, 224, 224, 3), dtype)
+    x = jnp.ones((1, image_size, image_size, 3), dtype)
     rtt_floor = timed_loop(noop, x, iters)
     p50 = timed_loop(lambda xx: step(fvars, xx), x, iters)
     compute_est = max(p50 - rtt_floor, 0.0)
@@ -315,7 +316,8 @@ def main():
     if args.latency:
         dev_ms = device_latency_ms(args.model, iters=args.latency_iters,
                                    image_size=size, **kw)
-        lat = latency_ms(args.model, iters=min(args.latency_iters, 100), **kw)
+        lat = latency_ms(args.model, iters=min(args.latency_iters, 100),
+                         image_size=size, **kw)
         rec = {"metric": f"{args.model}_fused_bf16_{size}_batch1_device_ms",
                "value": round(dev_ms, 3), "unit": "ms",
                "vs_baseline": None,
