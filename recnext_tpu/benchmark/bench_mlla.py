@@ -1,0 +1,93 @@
+"""MLLA-family throughput on TPU — completes per-family bench coverage.
+
+The reference's MLLA section publishes accuracy only (/root/reference/README.md:
+660-670); these are the first throughput numbers for the graft family. Same
+measurement discipline as bench.py (chained dependent steps, single drain —
+naive per-call timing over the axon tunnel measures RTT, PERF.md). MLLA has no
+published fused form, so this times the eval-mode model as-is (BN in inference
+mode), bf16.
+
+  python -m recnext_tpu.benchmark.bench_mlla --models mlla_nano_recattn_simple
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def throughput(name: str, batch: int, *, timed_s: float = 6.0,
+               image_size: int = 0) -> float:
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from recnext_tpu.models.mlla import create_mlla
+
+    dtype = jnp.bfloat16
+    model = create_mlla(name, dtype=dtype)
+    # MLLA is a 256-input family (MLLAConfig.img_size; the recattn grafts
+    # require EVEN stage sizes — 224 ends stage 3 at 7x7 and the stride-2
+    # attention's x2 nearest upsample cannot add back to it, in the reference
+    # torch code as much as here). 0 = the config's native size.
+    image_size = image_size or model.cfg.img_size
+    x0 = jnp.zeros((1, image_size, image_size, 3), dtype)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)
+    variables = jax.device_put(
+        jax.tree.map(lambda s: np.ones(s.shape, s.dtype), shapes))
+
+    @jax.jit
+    def step(v, x):
+        y = model.apply(v, x, training=False)
+        return x + (0.0 * jnp.sum(y)).astype(x.dtype)
+
+    def sync(xx):
+        return float(jnp.sum(xx[0, 0, 0]))
+
+    x = jnp.ones((batch, image_size, image_size, 3), dtype)
+    x = step(variables, x)
+    sync(x)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        x = step(variables, x)
+        sync(x)
+    est = (time.perf_counter() - t0) / 3
+    iters = max(3, min(2000, int(timed_s / max(est, 1e-4))))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = step(variables, x)
+    sync(x)
+    return iters * batch / (time.perf_counter() - t0)
+
+
+def main(argv=None):
+    from recnext_tpu.utils.platform import honor_env_platform
+    from recnext_tpu.utils.watchdog import require_devices
+
+    honor_env_platform()
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", nargs="+",
+                   default=["mlla_nano_recattn_simple", "mlla_mini_recattn_simple"])
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--timed", type=float, default=6.0)
+    p.add_argument("--image-size", type=int, default=0,
+                   help="0 = the config's native img_size (256)")
+    args = p.parse_args(argv)
+    require_devices(metric="bench_mlla_device_init")
+
+    rows = []
+    for name in args.models:
+        ips = throughput(name, args.batch, timed_s=args.timed,
+                         image_size=args.image_size)
+        row = {"model": name, "batch": args.batch,
+               "image_size": args.image_size or 256,
+               "images_per_sec": round(ips, 1)}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+    return rows
+
+
+if __name__ == "__main__":
+    main()
