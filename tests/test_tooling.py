@@ -481,3 +481,35 @@ def test_roofline_utilization_from_results(tmp_path, capsys):
     want = round(100 * rows[0]["compute_bound_ms_per_img"] / 0.1, 1)
     assert rows[0]["roofline_utilization_pct"] == want
     assert json.loads((tmp_path / "out.json").read_text())[0]["model"] == "recnext_m0"
+
+
+def test_bench_mlla_native_size_default(monkeypatch, capsys):
+    """bench_mlla defaults to the config's native 256 input (224 is invalid for
+    the recattn grafts — odd 7x7 stage vs the x2 attention upsample) and emits
+    one JSON row per model."""
+    import json
+
+    from recnext_tpu.benchmark import bench_mlla
+
+    seen = []
+
+    def fake_throughput(name, batch, *, timed_s, image_size):
+        seen.append((name, batch, image_size))
+        return 1234.5
+
+    monkeypatch.setattr(bench_mlla, "throughput", fake_throughput)
+    monkeypatch.setattr("recnext_tpu.utils.watchdog.require_devices",
+                        lambda **k: None)
+    rows = bench_mlla.main(["--models", "mlla_nano_recconv", "--batch", "8"])
+    assert seen == [("mlla_nano_recconv", 8, 0)]
+    assert rows == [{"model": "mlla_nano_recconv", "batch": 8,
+                     "image_size": 256, "images_per_sec": 1234.5}]
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out)["model"] == "mlla_nano_recconv"
+
+
+def test_mlla_native_size_resolution():
+    """throughput() resolves image_size=0 to MLLAConfig.img_size (256)."""
+    from recnext_tpu.models.mlla import MLLA_CONFIGS
+
+    assert all(cfg.img_size == 256 for cfg in MLLA_CONFIGS.values())
