@@ -50,7 +50,11 @@ def parse_args(argv=None):
     # optimization (reference defaults, main.py:52-91)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight-decay", type=float, default=0.025)
-    p.add_argument("--clip-grad", type=float, default=0.02, help="AGC clip factor")
+    p.add_argument("--clip-grad", type=float, default=0.02, help="gradient clip value")
+    p.add_argument("--clip-mode", default="agc", choices=["agc", "norm"],
+                   help="'agc' = adaptive clip (RecNeXt recipe, main.py:58-61); "
+                        "'norm' = global-norm clip (MLLA/Swin recipe, "
+                        "TRAIN.CLIP_GRAD 5.0 in mlla/logs/*/01_baseline.txt)")
     p.add_argument("--warmup-epochs", type=int, default=5)
     p.add_argument("--cooldown-epochs", type=int, default=0,
                    help="EXTRA epochs at min_lr appended after the cosine cycle "
@@ -89,6 +93,14 @@ def parse_args(argv=None):
     # EMA
     p.add_argument("--model-ema-decay", type=float, default=0.99996)
     p.add_argument("--no-model-ema", action="store_true")
+    # MESA self-distillation (the MLLA harness's AUG.MESA, mlla/cfgs/*.yaml:14 —
+    # every committed MLLA ablation log trains with MESA 1.0)
+    p.add_argument("--mesa", type=float, default=0.0,
+                   help="weight of the EMA-teacher self-distillation loss "
+                        "(softCE vs the EMA model's softmax); 0 = off")
+    p.add_argument("--mesa-start-ratio", type=float, default=0.25,
+                   help="fraction of total epochs after which MESA activates "
+                        "(upstream MLLA harness convention)")
     # data
     p.add_argument("--data-set", default="IMNET", choices=["IMNET", "CIFAR", "FOLDER", "FAKE"])
     p.add_argument("--data-path", default="")
@@ -214,6 +226,9 @@ def main(argv=None):
         except Exception:
             log("wandb requested but unavailable; continuing without it")
 
+    if args.mesa > 0 and args.no_model_ema:
+        raise SystemExit("--mesa needs the EMA model as its teacher "
+                         "(drop --no-model-ema)")
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     mesh = make_mesh(fsdp=args.fsdp)
     n_dev = mesh.devices.size
@@ -234,6 +249,18 @@ def main(argv=None):
         from recnext_tpu.models.regnet import create_regnet
 
         model = create_regnet(args.model, num_classes=nb_classes, dtype=dtype)
+    elif args.model.startswith("mlla"):
+        # the MLLA graft ablation family trains through the same jitted step
+        # (the reference trains it with a separate Swin-style harness,
+        # mlla/cfgs/*.yaml; recipe presets in configs/mlla_*.yaml)
+        if distill:
+            raise SystemExit("mlla models have no distillation head; "
+                             "use --mesa for the MLLA recipe's self-distillation")
+        from recnext_tpu.models.mlla import create_mlla
+        from recnext_tpu.models.registry import parse_kv_overrides
+
+        model = create_mlla(args.model, num_classes=nb_classes, dtype=dtype,
+                            **parse_kv_overrides(args.model_kwargs))
     else:
         from recnext_tpu.models.registry import parse_kv_overrides
 
@@ -258,7 +285,7 @@ def main(argv=None):
     sched_opt = (sched if args.grad_accum <= 1
                  else (lambda u: sched(u * args.grad_accum)))
     tx = make_optimizer(sched_opt, args.weight_decay, args.clip_grad,
-                        grad_accum=args.grad_accum)
+                        grad_accum=args.grad_accum, clip_mode=args.clip_mode)
     state = TrainState.create(variables, tx, ema=not args.no_model_ema)
 
     teacher_apply = None
@@ -310,6 +337,8 @@ def main(argv=None):
         use_mix = False
     train_step = make_train_step(
         model, tx, num_classes=nb_classes, teacher_apply=teacher_apply,
+        mesa=args.mesa,
+        mesa_start_step=int(args.mesa_start_ratio * args.epochs * steps_per_epoch),
         distillation=args.distillation_type, alpha=args.distillation_alpha,
         tau=args.distillation_tau, mixup=use_mix,
         jsd_splits=args.aug_splits if args.jsd_loss else 0,
@@ -325,7 +354,7 @@ def main(argv=None):
     # the reference's unfused eval (engine.py:78-109). --no-fused-eval restores
     # the reference behavior; the regnet teacher family has no fused form.
     use_fused_eval = (not args.no_fused_eval
-                      and not args.model.startswith("regnet"))
+                      and not args.model.startswith(("regnet", "mlla")))
     if use_fused_eval:
         from recnext_tpu.models.registry import get_config
         from recnext_tpu.train.step import make_fused_eval_step

@@ -75,8 +75,12 @@ def make_optimizer(
     agc_clip: float = 0.02,
     betas=(0.9, 0.999),
     grad_accum: int = 1,
+    clip_mode: str = "agc",
 ) -> optax.GradientTransformation:
-    """AGC clip -> AdamW (wd only on >=2-D params), per the reference recipe.
+    """Gradient clip -> AdamW (wd only on >=2-D params), per the reference recipe.
+    clip_mode 'agc' is the RecNeXt recipe (AGC 0.02, main.py:58-61); 'norm' is
+    global-norm clipping for the MLLA/Swin-harness recipe (TRAIN.CLIP_GRAD 5.0
+    in /root/reference/mlla/logs/*/01_baseline.txt).
     grad_accum > 1 wraps in optax.MultiSteps (the DistOptimizerHook update_interval
     counterpart, /root/reference/detection/mmcv_custom/runner/optimizer.py:1-29)."""
 
@@ -88,7 +92,11 @@ def make_optimizer(
         param_labels,
     )
     if agc_clip and agc_clip > 0:
-        opt = optax.chain(optax.adaptive_grad_clip(agc_clip), opt)
+        if clip_mode not in ("agc", "norm"):
+            raise ValueError(f"unknown clip_mode {clip_mode!r}")
+        clip = (optax.adaptive_grad_clip(agc_clip) if clip_mode == "agc"
+                else optax.clip_by_global_norm(agc_clip))
+        opt = optax.chain(clip, opt)
     if grad_accum > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=grad_accum)
     return opt

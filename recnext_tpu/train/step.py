@@ -38,13 +38,26 @@ def make_train_step(
     jsd_splits: int = 0,
     jsd_alpha: float = 12.0,
     grad_accum: int = 1,
+    mesa: float = 0.0,
+    mesa_start_step: int = 0,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch = {"image": NHWC float, "label": int32}. Jit/shard it with
     recnext_tpu.parallel helpers; all reductions become global under sharding.
+
+    mesa > 0 enables MESA self-distillation — the MLLA recipe's AUG.MESA knob
+    (/root/reference/mlla/cfgs/mlla_n.yaml:14; every committed MLLA ablation log
+    trains with MESA 1.0): once state.step >= mesa_start_step, add
+    mesa * softCE(student, softmax(EMA-model logits)). The EMA teacher forward
+    runs INSIDE the same jitted step (no second program, no host sync) and is
+    lax-gated by step so one compiled program covers both phases. Requires
+    EMA enabled and no dual-head distillation (single logits output).
     """
     mk = dict(num_classes=num_classes, smoothing=smoothing, **(mixup_kwargs or {}))
+    if mesa > 0 and (distillation != "none" or jsd_splits > 1):
+        raise ValueError("MESA self-distillation requires a single-logits model "
+                         "(no dual-head distillation) and is incompatible with JSD")
 
     def apply_model(params, batch_stats, x, rngs):
         return model.apply(
@@ -62,7 +75,8 @@ def make_train_step(
             apply_model, policy=jax.checkpoint_policies.dots_saveable,
             static_argnums=())
 
-    def loss_fn(params, batch_stats, x, targets, teacher_logits, rngs):
+    def loss_fn(params, batch_stats, x, targets, teacher_logits, rngs,
+                mesa_targets=None, mesa_w=None):
         outputs, mut = apply_model(params, batch_stats, x, rngs)
         if jsd_splits > 1:
             # moganet --jsd-loss path: clean-split CE + JS consistency; excludes
@@ -77,6 +91,8 @@ def make_train_step(
             outputs, targets, teacher_logits,
             base_criterion=base, kind=distillation, alpha=alpha, tau=tau,
         )
+        if mesa_targets is not None:
+            loss = loss + mesa_w * L.soft_target_cross_entropy(outputs, mesa_targets)
         return loss, mut["batch_stats"]
 
     def train_step(state: TrainState, batch, rng):
@@ -96,9 +112,23 @@ def make_train_step(
         if teacher_logits is not None:
             teacher_logits = jax.lax.stop_gradient(teacher_logits)
 
+        mesa_targets = mesa_w = None
+        if mesa > 0:
+            # the EMA teacher: inference-mode forward over the EMA weights, lax-
+            # gated by step (weight 0 before mesa_start_step) so both training
+            # phases share ONE compiled program. stop_gradient'd like the
+            # reference teacher path.
+            ema_logits = model.apply(
+                {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+                x, training=False)
+            mesa_targets = jax.lax.stop_gradient(
+                jax.nn.softmax(ema_logits.astype(jnp.float32), axis=-1))
+            mesa_w = mesa * (state.step >= mesa_start_step).astype(jnp.float32)
+
         rngs = {"droppath": r_drop, "dropout": r_dropout}
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, x, targets, teacher_logits, rngs
+            state.params, state.batch_stats, x, targets, teacher_logits, rngs,
+            mesa_targets, mesa_w
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -115,6 +115,13 @@ def load_variables(args, model, fused_model):
         variables = model.init(jax.random.PRNGKey(0), x0)
         return (fuse_params(variables) if args.fused else variables)
     if ckpt.endswith((".pth", ".pt")):
+        if args.model.startswith("mlla"):
+            import torch
+
+            from recnext_tpu.convert import mlla_torch_to_flax
+
+            state = torch.load(ckpt, map_location="cpu", weights_only=False)
+            return mlla_torch_to_flax(state.get("model", state))
         from recnext_tpu.convert import load_torch_checkpoint
 
         variables = load_torch_checkpoint(ckpt)
@@ -153,9 +160,20 @@ def main(argv=None):
     from recnext_tpu.models.registry import parse_kv_overrides
 
     mkw = parse_kv_overrides(args.model_kwargs)
-    model = create_model(args.model, num_classes=nb_classes, dtype=dtype, **mkw)
-    fused_model = create_model(args.model, num_classes=nb_classes, fused=True,
-                               dtype=dtype, **mkw)
+    if args.model.startswith("mlla"):
+        # the MLLA graft family is LayerNorm-based: no BN-fusion or lane-packed
+        # path; checkpoints come from the trainer (orbax) or the reference's
+        # torch .pth via mlla_torch_to_flax
+        if args.fused or args.packed or args.test_pool:
+            raise SystemExit("mlla models have no fused/packed/test-pool path")
+        from recnext_tpu.models.mlla import create_mlla
+
+        model = create_mlla(args.model, num_classes=nb_classes, dtype=dtype, **mkw)
+        fused_model = None
+    else:
+        model = create_model(args.model, num_classes=nb_classes, dtype=dtype, **mkw)
+        fused_model = create_model(args.model, num_classes=nb_classes, fused=True,
+                                   dtype=dtype, **mkw)
     variables = load_variables(args, model, fused_model)
     net = fused_model if args.fused else model
 
