@@ -507,6 +507,20 @@ def test_bench_mlla_native_size_default(monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(out)["model"] == "mlla_nano_recconv"
 
+    # --train dispatches to the train-step path and stamps the mode (incl. the
+    # MESA-active flavor of the MLLA recipe)
+    train_seen = []
+
+    def fake_train(name, batch, *, timed_s, image_size, mesa):
+        train_seen.append((name, mesa))
+        return 99.0
+
+    monkeypatch.setattr(bench_mlla, "train_throughput", fake_train)
+    rows = bench_mlla.main(["--models", "mlla_nano_recconv", "--batch", "8",
+                            "--train", "--mesa", "1.0"])
+    assert train_seen == [("mlla_nano_recconv", 1.0)]
+    assert rows[0]["mode"] == "train+mesa1.0"
+
 
 def test_mlla_native_size_resolution():
     """throughput() resolves image_size=0 to MLLAConfig.img_size (256)."""
