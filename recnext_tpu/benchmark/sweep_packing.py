@@ -54,6 +54,10 @@ def main(argv=None):
                    default=["1,1,1,1", "2,1,1,1", "1,2,1,1", "1,1,2,1", "1,1,1,2"])
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--timed", type=float, default=6.0)
+    p.add_argument("--mlp-mode", default="grouped", choices=["grouped", "blockdiag"],
+                   help="packed 1x1-mlp formulation: grouped conv (bit-exact, "
+                        "shipping) or block-diagonal dense (one MXU contraction; "
+                        "reopens the stage-0/1 packing frontier — PERF.md)")
     args = p.parse_args(argv)
 
     import bench as bench_mod
@@ -75,7 +79,8 @@ def main(argv=None):
     for gs in args.groups:
         groups = tuple(int(v) for v in gs.split(","))
         try:
-            ips = measure(lambda v, x: packed_apply(v, cfg, x, groups=groups),
+            ips = measure(lambda v, x: packed_apply(v, cfg, x, groups=groups,
+                                                    mlp_mode=args.mlp_mode),
                           fvars, args.batch, dtype, args.timed)
         except Exception as e:
             print(json.dumps({"model": args.model, "groups": groups,
@@ -83,6 +88,7 @@ def main(argv=None):
             continue
         results.append((groups, ips))
         print(json.dumps({"model": args.model, "groups": groups,
+                          "mlp_mode": args.mlp_mode,
                           "images_per_sec": round(ips, 1)}), flush=True)
     if results:
         base = next((r for g, r in results if g == (1, 1, 1, 1)), None)

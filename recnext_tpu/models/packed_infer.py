@@ -110,6 +110,20 @@ def _tile(w: jnp.ndarray, g: int) -> jnp.ndarray:
     return jnp.tile(w, reps)
 
 
+def _blockdiag(kernel: jnp.ndarray, g: int) -> jnp.ndarray:
+    """(1,1,Cin,Cout) 1x1 kernel -> (1,1,g*Cin,g*Cout) block-diagonal: the
+    grouped per-packed-image conv re-expressed as ONE dense MXU contraction.
+    The g-1 off-diagonal blocks are exact zeros, so each output still sums
+    exactly the same products; this trades g x the FLOPs (on the otherwise
+    idle MXU — the m family is VPU-bound, PERF.md) for removing the grouped
+    conv's lane-split relayout, which is what made stage-0/1 packing lose in
+    the round-2 sweep."""
+    if g == 1:
+        return kernel
+    w = kernel[0, 0]
+    return jnp.kron(jnp.eye(g, dtype=w.dtype), w)[None, None]
+
+
 def _packed_linear_attention(qk: jnp.ndarray, v: jnp.ndarray, g: int,
                              num_heads: int, head_dim: int,
                              variant: int) -> jnp.ndarray:
@@ -137,14 +151,21 @@ def _packed_linear_attention(qk: jnp.ndarray, v: jnp.ndarray, g: int,
 def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
                  *, group: Optional[int] = None,
                  groups: Optional[Tuple[int, ...]] = None,
-                 nearest_upsample: str = "gather") -> jnp.ndarray:
+                 nearest_upsample: str = "gather",
+                 mlp_mode: str = "grouped") -> jnp.ndarray:
     """Fused-inference forward for the m and a families, numerically identical
     to RecNext(cfg, fused=True).apply(variables, x, training=False).
 
     `groups` gives the per-stage packing factor (1 = plain layout). Defaults to
-    the measured `default_groups` policy; `group` forces one factor everywhere."""
+    the measured `default_groups` policy; `group` forces one factor everywhere.
+
+    `mlp_mode` selects the packed 1x1 mlp formulation: 'grouped' (the shipping
+    feature_group_count=g conv, bit-exact) or 'blockdiag' (one dense MXU
+    contraction with exact-zero off-diagonal blocks — same products summed, but
+    a different reduction-tree shape, so exact only to fp32-reassociation)."""
     assert cfg.family in ("m", "a"), \
         "packed inference implemented for the m and a families"
+    assert mlp_mode in ("grouped", "blockdiag"), mlp_mode
     p = variables["params"]
     B = x.shape[0]
     if group is not None:
@@ -170,6 +191,12 @@ def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
         return x * scale + shift
 
     def mlp(params, x, g):
+        if mlp_mode == "blockdiag":
+            h = cv({"kernel": _blockdiag(jnp.asarray(params["fc1"]["conv"]["kernel"], dt), g),
+                    "bias": _tile(jnp.asarray(params["fc1"]["conv"]["bias"], dt), g)}, x)
+            h = gelu(h)
+            return cv({"kernel": _blockdiag(jnp.asarray(params["fc2"]["conv"]["kernel"], dt), g),
+                       "bias": _tile(jnp.asarray(params["fc2"]["conv"]["bias"], dt), g)}, h)
         h = cv({"kernel": _tile(jnp.asarray(params["fc1"]["conv"]["kernel"], dt), g),
                 "bias": _tile(jnp.asarray(params["fc1"]["conv"]["bias"], dt), g)},
                x, groups=g)

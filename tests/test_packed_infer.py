@@ -98,6 +98,28 @@ def test_packed_a_family_softplus_kernel(rng):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-5)
 
 
+@pytest.mark.parametrize("family_cfg", [CFG, CFG_A], ids=["m", "a"])
+def test_packed_blockdiag_mlp_matches_fused(rng, family_cfg):
+    """mlp_mode='blockdiag' re-expresses the grouped 1x1 mlp as ONE dense
+    contraction with exact-zero off-diagonal blocks — same products, different
+    reduction-tree shape, so parity is to fp32-reassociation tolerance."""
+    model = RecNext(cfg=family_cfg)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * np.random.default_rng(1).normal(size=v.shape)
+        .astype(v.dtype), variables)
+    fused_vars = fuse_params(variables)
+    fused = RecNext(cfg=family_cfg, fused=True)
+    want = np.asarray(fused.apply(fused_vars, x, training=False))
+    for g in (2, 4):
+        got = np.asarray(packed_apply(fused_vars, family_cfg, x, group=g,
+                                      mlp_mode="blockdiag"))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-5)
+    with pytest.raises(AssertionError):
+        packed_apply(fused_vars, family_cfg, x, mlp_mode="nope")
+
+
 def test_default_groups_policy():
     from recnext_tpu.models.packed_infer import MEASURED_GROUPS, default_groups
     from recnext_tpu.models.registry import get_config
