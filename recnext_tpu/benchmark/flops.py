@@ -48,6 +48,27 @@ def model_flops(model_name: str, input_size: int = 224, fused: bool = True,
     return n_params, flops / 2.0
 
 
+def mlla_flops(model_name: str, input_size: int = 0,
+               batch: int = 1) -> Tuple[int, float]:
+    """(params, MACs) for an MLLA graft variant at its native resolution
+    (256 by default — the recattn grafts need even stage sizes). The reference
+    publishes params/FLOPs for these in its ablation section
+    (/root/reference/mlla/README.md)."""
+    from recnext_tpu.models.mlla import create_mlla
+
+    model = create_mlla(model_name)
+    input_size = input_size or model.cfg.img_size
+    x = jnp.zeros((batch, input_size, input_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    n_params = count_params(variables["params"])
+
+    def fwd(v, xx):
+        return model.apply(v, xx, training=False)
+
+    flops = count_flops(fwd, variables, x) / batch
+    return n_params, flops / 2.0
+
+
 def task_flops(task: str, backbone: str, input_size: int,
                num_classes: int) -> Tuple[int, float]:
     """(params, MACs) for a downstream-task model — the counterpart of the mm

@@ -53,6 +53,75 @@ logits = model.apply(variables, images_nhwc, training=False)
 FAMILY_LONG = {"m": "RecConv token mixer", "a": "RecAttn linear-attention mixer",
                "l": "LSNet-style partial-channel mixer"}
 
+MLLA_TEMPLATE = """---
+tags:
+- image-classification
+- recnext-tpu
+library_name: recnext_tpu
+license: apache-2.0
+---
+
+# {name} (TPU-native RecNeXt — MLLA graft family)
+
+{variant_long} grafted into the MLLA (Swin-style) architecture — the
+reference's ablation family (/root/reference/mlla/), re-built TPU-first in
+JAX/Flax. LayerNorm-based (no BN-fusion form); native input 256² (the recattn
+grafts need even stage sizes).
+
+## Architecture
+
+| field | value |
+|---|---|
+| variant | {variant} |
+| embed_dim | {embed_dim} |
+| depths | {depths} |
+| num_heads | {num_heads} |
+| params | {params_m:.2f} M |
+| MACs @256 | {macs_g:.3f} G |
+{extra_rows}
+## Training
+
+The main CLI trains this family with the reference recipe
+(`--config configs/mlla_{size}_300e.yaml`): AdamW wd 0.05, global-norm clip
+5.0, 20 warmup epochs, MESA EMA-self-distillation from 25% of training.
+
+```python
+from recnext_tpu.models.mlla import create_mlla
+
+model = create_mlla("{name}")
+logits = model.apply(variables, images_nhwc, training=False)
+```
+"""
+
+MLLA_VARIANT_LONG = {
+    "recconv": "RecConv2d aggregator (nearest x2 pyramid)",
+    "recattn": "RoPE linear-attention RecAttn aggregator",
+    "recattn_simple": "simplified (ELU+1, rope-free) RecAttn aggregator",
+}
+
+
+def make_mlla_card(model_name: str, measured: dict | None = None) -> str:
+    from recnext_tpu.benchmark.flops import mlla_flops
+    from recnext_tpu.models.mlla import MLLA_CONFIGS
+
+    cfg = MLLA_CONFIGS[model_name]
+    n_params, macs = mlla_flops(model_name)
+    extra = ""
+    if measured:
+        if measured.get("images_per_sec"):
+            extra += (f"| TPU v5e throughput (bf16 @256, batch 256) | "
+                      f"{measured['images_per_sec']:.0f} img/s |\n")
+        if measured.get("train_images_per_sec"):
+            extra += (f"| TPU v5e train step (full recipe, batch 128) | "
+                      f"{measured['train_images_per_sec']:.0f} img/s |\n")
+    size = "nano" if "nano" in model_name else "mini"
+    return MLLA_TEMPLATE.format(
+        name=model_name, variant=cfg.variant,
+        variant_long=MLLA_VARIANT_LONG[cfg.variant], embed_dim=cfg.embed_dim,
+        depths=cfg.depths, num_heads=cfg.num_heads, params_m=n_params / 1e6,
+        macs_g=macs / 1e9, extra_rows=extra, size=size,
+    )
+
 
 def make_card(model_name: str, throughput: float | None = None,
               measured: dict | None = None) -> str:
@@ -96,14 +165,16 @@ def main(argv=None):
     p.add_argument("--model", help="one variant (or use --all)")
     p.add_argument("--all", action="store_true",
                    help="regenerate cards for every registry variant")
+    p.add_argument("--mlla-all", action="store_true",
+                   help="regenerate cards for the 6 MLLA graft variants")
     p.add_argument("--out", default="cards")
     p.add_argument("--throughput", type=float, default=None)
     p.add_argument("--results", default=None,
                    help="bench_results.json (bench_all output); adds measured "
                         "throughput / vs-RTX3090 / batch-1 latency rows")
     args = p.parse_args(argv)
-    if bool(args.model) == args.all:
-        p.error("exactly one of --model / --all")
+    if sum([bool(args.model), args.all, args.mlla_all]) != 1:
+        p.error("exactly one of --model / --all / --mlla-all")
 
     measured_by_model = {}
     if args.results:
@@ -113,12 +184,20 @@ def main(argv=None):
 
     from recnext_tpu.models.registry import list_models
 
-    names = list_models() if args.all else [args.model]
+    if args.mlla_all:
+        from recnext_tpu.models.mlla import MLLA_CONFIGS
+
+        names = sorted(MLLA_CONFIGS)
+    else:
+        names = list_models() if args.all else [args.model]
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     for name in names:
-        card = make_card(name, args.throughput,
-                         measured=measured_by_model.get(name))
+        if name.startswith("mlla"):
+            card = make_mlla_card(name, measured=measured_by_model.get(name))
+        else:
+            card = make_card(name, args.throughput,
+                             measured=measured_by_model.get(name))
         path = out / f"{name}.md"
         path.write_text(card)
         print(f"wrote {path}")

@@ -522,6 +522,24 @@ def test_bench_mlla_native_size_default(monkeypatch, capsys):
     assert rows[0]["mode"] == "train+mesa1.0"
 
 
+def test_mlla_model_card(monkeypatch):
+    """MLLA cards carry variant/depths and the measured throughput/train rows
+    from bench_mlla_r4.json-style results."""
+    from recnext_tpu.benchmark import modelcard
+
+    monkeypatch.setattr("recnext_tpu.benchmark.flops.mlla_flops",
+                        lambda name: (3_990_000, 0.942e9))
+    card = modelcard.make_mlla_card(
+        "mlla_mini_recattn",
+        measured={"images_per_sec": 3557.3, "train_images_per_sec": 2335.2})
+    assert "| variant | recattn |" in card
+    assert "| depths | (2, 4, 8, 4) |" in card
+    assert "3557 img/s" in card and "2335 img/s" in card
+    assert "configs/mlla_mini_300e.yaml" in card
+    card = modelcard.make_mlla_card("mlla_nano_recconv")
+    assert "TPU v5e throughput" not in card  # no unmeasured claims
+
+
 def test_mlla_native_size_resolution():
     """throughput() resolves image_size=0 to MLLAConfig.img_size (256)."""
     from recnext_tpu.models.mlla import MLLA_CONFIGS
