@@ -75,14 +75,37 @@ def export_stablehlo(
     variables: Optional[Dict[str, Any]] = None,
     *,
     batch: int = 1,
-    input_size: int = 224,
+    input_size: int = 0,
     dtype=jnp.bfloat16,
     fused: bool = True,
     out_path: Optional[str] = None,
 ) -> bytes:
-    """Serialize the jitted forward to StableHLO bytes (jax.export)."""
+    """Serialize the jitted forward to StableHLO bytes (jax.export).
+    input_size 0 = the family's native resolution (224; 256 for the MLLA
+    grafts, which have no BN-fused form — `fused` is ignored there)."""
     from jax import export as jexport
 
+    if model_name.startswith("mlla"):
+        from recnext_tpu.models.mlla import create_mlla
+
+        model = create_mlla(model_name, dtype=dtype)
+        input_size = input_size or model.cfg.img_size
+        x = jnp.zeros((batch, input_size, input_size, 3), dtype)
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), x[:1])
+
+        def fwd(xx):
+            return model.apply(jax.tree.map(jnp.asarray, variables), xx,
+                               training=False)
+
+        exported = jexport.export(jax.jit(fwd))(
+            jax.ShapeDtypeStruct(x.shape, x.dtype))
+        blob = exported.serialize()
+        if out_path:
+            Path(out_path).write_bytes(blob)
+        return blob
+
+    input_size = input_size or 224
     model = create_model(model_name, fused=fused, dtype=dtype)
     x = jnp.zeros((batch, input_size, input_size, 3), dtype)
     if variables is None:
@@ -167,10 +190,38 @@ def main():
         variables = {"params": restored[key],
                      "batch_stats": restored["ema_batch_stats" if args.ema
                                              else "batch_stats"]}
+    elif args.model.startswith("mlla"):
+        from recnext_tpu.models.mlla import create_mlla
+
+        model = create_mlla(args.model)
+        x = jnp.zeros((1, model.cfg.img_size, model.cfg.img_size, 3), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     else:
         model = create_model(args.model)
         x = jnp.zeros((1, 224, 224, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), x)
+
+    if args.model.startswith("mlla"):
+        # the MLLA grafts are LayerNorm-based: no BN-fused published artifact;
+        # the deployables are the StableHLO blob and/or the reference-loadable
+        # torch .pth (convert.mlla_flax_to_torch)
+        out_dir = Path(args.out)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        if args.to_torch:
+            from recnext_tpu.convert import mlla_flax_to_torch, save_torch_checkpoint
+
+            save_torch_checkpoint(mlla_flax_to_torch(variables), args.to_torch)
+            print(f"exported torch checkpoint {args.to_torch} (mlla layout)")
+        if args.stablehlo:
+            out = out_dir / f"{args.model}_b{args.batch}.stablehlo"
+            export_stablehlo(args.model, variables, batch=args.batch,
+                             out_path=str(out))
+            print(f"exported {out}")
+        if not (args.to_torch or args.stablehlo):
+            raise SystemExit("mlla models have no fused published artifact; "
+                             "pass --stablehlo and/or --to-torch")
+        return
+
     f = publish_fused(args.model, variables, args.out)
     if args.sha_stamp:
         f = sha_stamp(f)

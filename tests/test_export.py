@@ -47,6 +47,38 @@ def test_stablehlo_export_executes(tmp_path):
     np.testing.assert_allclose(np.asarray(y), np.asarray(fwd(x)), atol=1e-5)
 
 
+def test_stablehlo_export_mlla_executes(tmp_path):
+    """export_stablehlo serves the MLLA graft family too (no fused form; native
+    256 input auto-selected by default, tiny override here)."""
+    from jax import export as jexport
+
+    from recnext_tpu.export import export_stablehlo
+    from recnext_tpu.models.mlla import create_mlla
+
+    model = create_mlla("mlla_nano_recconv", num_classes=4, embed_dim=8,
+                        depths=(1, 1, 1, 1), num_heads=(1, 1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # monkey-free path: hand the tiny variables straight to the exporter with an
+    # explicit input size (the public CLI uses the full config at 256)
+    import recnext_tpu.export as ex
+    import recnext_tpu.models.mlla as mlla_mod
+
+    orig = mlla_mod.create_mlla
+    mlla_mod.create_mlla = lambda name, **kw: model
+    try:
+        blob = export_stablehlo("mlla_nano_recconv", variables, batch=1,
+                                input_size=64, dtype=jnp.float32,
+                                out_path=str(tmp_path / "m.stablehlo"))
+    finally:
+        mlla_mod.create_mlla = orig
+    assert (tmp_path / "m.stablehlo").exists() and len(blob) > 1000
+    back = jexport.deserialize(blob)
+    want = model.apply(variables, x, training=False)
+    np.testing.assert_allclose(np.asarray(back.call(x)), np.asarray(want),
+                               atol=1e-5)
+
+
 def test_param_counts_match_reference_table():
     """Fused param counts vs the published table (upload.py:12-34 / BASELINE.md),
     within rounding (reference rounds to 0.1M)."""
