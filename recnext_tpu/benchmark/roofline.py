@@ -124,25 +124,38 @@ def analyze_jaxpr(jaxpr) -> dict:
     return tot
 
 
-def model_roofline(model_name: str, image_size: int = 224,
+def model_roofline(model_name: str, image_size: int = 0,
                    batch: int = 256) -> dict:
-    """Per-IMAGE engine times + the speed-of-light bound for the fused fwd."""
+    """Per-IMAGE engine times + the speed-of-light bound for the deployed fwd
+    (BN-fused for the RecNeXt families; the raw LayerNorm model for the MLLA
+    grafts, which have no fused form). image_size 0 = the family's native
+    resolution (224; MLLA 256)."""
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
-    from recnext_tpu.fusion import fuse_params
-    from recnext_tpu.models.registry import create_model
+    if model_name.startswith("mlla"):
+        from recnext_tpu.models.mlla import create_mlla
 
-    model = create_model(model_name, dtype=jnp.bfloat16)
-    x0 = jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16)
-    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)
-    variables = jax.tree.map(lambda s: np.ones(s.shape, s.dtype), shapes)
-    fv = fuse_params(variables)
-    fused = create_model(model_name, fused=True, dtype=jnp.bfloat16)
+        infer = create_mlla(model_name, dtype=jnp.bfloat16)
+        image_size = image_size or infer.cfg.img_size
+        x0 = jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16)
+        shapes = jax.eval_shape(infer.init, jax.random.PRNGKey(0), x0)
+        fv = jax.tree.map(lambda s: np.ones(s.shape, s.dtype), shapes)
+    else:
+        from recnext_tpu.fusion import fuse_params
+        from recnext_tpu.models.registry import create_model
+
+        image_size = image_size or 224
+        model = create_model(model_name, dtype=jnp.bfloat16)
+        x0 = jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16)
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)
+        variables = jax.tree.map(lambda s: np.ones(s.shape, s.dtype), shapes)
+        fv = fuse_params(variables)
+        infer = create_model(model_name, fused=True, dtype=jnp.bfloat16)
     x = jnp.zeros((batch, image_size, image_size, 3), jnp.bfloat16)
-    jaxpr = jax.make_jaxpr(lambda v, xx: fused.apply(v, xx, training=False))(fv, x)
+    jaxpr = jax.make_jaxpr(lambda v, xx: infer.apply(v, xx, training=False))(fv, x)
     t = analyze_jaxpr(jaxpr)
     mxu_ms = t["mxu_macs"] / MXU_MAC_PER_S / batch * 1e3
     vpu_ms = ((t["vpu_macs"] + t["vpu_elementwise_ops"])
@@ -169,7 +182,8 @@ def main(argv=None):
                    help="default: every model in --results (or the registry)")
     p.add_argument("--results", default=None,
                    help="bench_results.json — adds measured ms/img + utilization%")
-    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--image-size", type=int, default=0,
+                   help="0 = the family's native resolution (224; MLLA 256)")
     p.add_argument("--out", default=None, help="write rows as JSON")
     args = p.parse_args(argv)
 
