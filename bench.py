@@ -52,7 +52,8 @@ def _is_vmem_compile_error(e: Exception) -> bool:
 def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
                warmup_s: float = 5.0, timed_s: float = 10.0,
                auto_split: bool = True, packed: bool = True,
-               image_size: int = 224, **model_kwargs):
+               image_size: int = 224, attn_impl: str = "headbatch",
+               **model_kwargs):
     """Returns (images_per_sec, batch_used). If XLA's compile trips the scoped-VMEM
     cliff at the requested batch (the known recnext_a* @512 Mosaic bug, PERF.md),
     auto-retries at half the batch instead of failing the sweep.
@@ -72,7 +73,7 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
     if packed and cfg.family in ("m", "a"):
         from recnext_tpu.models.packed_infer import packed_apply
 
-        apply_fn = lambda v, x: packed_apply(v, cfg, x)
+        apply_fn = lambda v, x: packed_apply(v, cfg, x, attn_impl=attn_impl)
     else:
         apply_fn = lambda v, x: fused.apply(v, x, training=False)
 
@@ -98,7 +99,8 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
             return throughput(model_name, batch // 2, dtype=dtype,
                               warmup_s=warmup_s, timed_s=timed_s,
                               auto_split=auto_split, packed=packed,
-                              image_size=image_size, **model_kwargs)
+                              image_size=image_size, attn_impl=attn_impl,
+                              **model_kwargs)
         raise
     # warmup: run the chained step for ~warmup_s wall seconds (clock/power
     # settling — the speed_gpu.py:11-27 warmup-loop counterpart)
@@ -221,10 +223,15 @@ def latency_ms(model_name: str, *, dtype=jnp.bfloat16, iters: int = 100,
 
 def train_throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
                      timed_s: float = 6.0, auto_split: bool = True,
-                     image_size: int = 224, **model_kwargs):
+                     image_size: int = 224, repeats: int = 1, **model_kwargs):
     """Full training-step throughput (fwd+bwd+AdamW+EMA+mixup) on one chip.
-    Returns (images_per_sec, batch_used); like `throughput`, a scoped-VMEM
-    compile cliff at the requested batch auto-retries at half."""
+    Returns (images_per_sec, batch_used[, spread]); like `throughput`, a
+    scoped-VMEM compile cliff at the requested batch auto-retries at half.
+
+    repeats>1 measures N independent timed windows and returns the MEDIAN plus
+    a spread dict {min, max, runs} — the t-family's sub-ms steps showed ~20%
+    run-to-run spread in round 4 (PERF.md), so single-window train numbers are
+    not comparison-grade."""
     import numpy as np
 
     from recnext_tpu.models.registry import create_model
@@ -257,7 +264,8 @@ def train_throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
         if auto_split and batch > 8 and _is_vmem_compile_error(e):
             return train_throughput(model_name, batch // 2, dtype=dtype,
                                     timed_s=timed_s, auto_split=auto_split,
-                                    image_size=image_size, **model_kwargs)
+                                    image_size=image_size, repeats=repeats,
+                                    **model_kwargs)
         raise
     t0 = time.perf_counter()
     for _ in range(2):
@@ -265,11 +273,23 @@ def train_throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
         sync(state)
     est = (time.perf_counter() - t0) / 2
     iters = max(3, min(500, int(timed_s / max(est, 1e-4))))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, _ = step(state, batch_data, rng)
-    sync(state)
-    return iters * batch / (time.perf_counter() - t0), batch
+
+    def one_window():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            nonlocal_state[0], _ = step(nonlocal_state[0], batch_data, rng)
+        sync(nonlocal_state[0])
+        return iters * batch / (time.perf_counter() - t0)
+
+    nonlocal_state = [state]
+    runs = sorted(one_window() for _ in range(max(repeats, 1)))
+    median = runs[len(runs) // 2] if len(runs) % 2 else \
+        0.5 * (runs[len(runs) // 2 - 1] + runs[len(runs) // 2])
+    if repeats <= 1:
+        return runs[0], batch
+    spread = {"min": round(runs[0], 1), "max": round(runs[-1], 1),
+              "runs": [round(r, 1) for r in runs]}
+    return median, batch, spread
 
 
 def main():
@@ -280,6 +300,9 @@ def main():
     p.add_argument("--latency-iters", type=int, default=200,
                    help="scan-chain length for the on-device latency measurement")
     p.add_argument("--train", action="store_true", help="training-step throughput mode")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="--train only: N independent timed windows; reports the "
+                        "median and a min/max spread (use >=3 for sub-50 ms steps)")
     p.add_argument("--image-size", type=int, default=224,
                    help="square input resolution (the reference ablates at 384, "
                         "README.md:459-479)")
@@ -288,6 +311,10 @@ def main():
     p.add_argument("--upsample", default="matmul", choices=["gather", "matmul"])
     p.add_argument("--no-packed", action="store_true",
                    help="disable the lane-packed m/a-family executor")
+    p.add_argument("--attn-impl", default="headbatch",
+                   choices=["headbatch", "blockdiag", "blockdiag_fused"],
+                   help="A-family linear-attention formulation in the packed "
+                        "executor (round-5 campaign lever)")
     p.add_argument("--compile-cache", default="",
                    help="persistent XLA compilation cache dir (or env "
                         "RECNEXT_COMPILE_CACHE); warm restarts skip the "
@@ -329,19 +356,21 @@ def main():
         print(json.dumps(rec))
         return
     if args.train:
-        ips, used_batch = train_throughput(args.model, args.batch,
-                                           timed_s=args.timed, image_size=size,
-                                           **kw)
+        out = train_throughput(args.model, args.batch, timed_s=args.timed,
+                               image_size=size, repeats=args.repeats, **kw)
+        ips, used_batch = out[0], out[1]
         rec = {"metric": f"{args.model}_train_bf16_{size}_images_per_sec",
                "value": round(ips, 2), "unit": "images/sec",
                "vs_baseline": None}
+        if len(out) == 3:
+            rec["spread"] = out[2]
         if used_batch != args.batch:
             rec["batch_used"] = used_batch
         print(json.dumps(rec))
         return
     ips, used_batch = throughput(args.model, args.batch, warmup_s=args.warmup,
                                  timed_s=args.timed, packed=not args.no_packed,
-                                 image_size=size, **kw)
+                                 image_size=size, attn_impl=args.attn_impl, **kw)
     base = BASELINES.get(args.model) if size == 224 else None
     rec = {
         "metric": f"{args.model}_fused_bf16_{size}_images_per_sec",

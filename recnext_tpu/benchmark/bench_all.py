@@ -38,6 +38,9 @@ def main(argv=None):
                    help="full-train-step throughput (fwd+bwd+AdamW+EMA+mixup) "
                         "instead of fused inference; use --batch 256 (the "
                         "measured per-chip sweet spot, PERF.md)")
+    p.add_argument("--repeats", type=int, default=3,
+                   help="--train: independent timed windows per model; the row "
+                        "records the median + {min,max,runs} spread")
     p.add_argument("--stamp", default="",
                    help="provenance label recorded in every row (e.g. 'round4')")
     p.add_argument("--out", default="bench_results.json")
@@ -48,6 +51,11 @@ def main(argv=None):
                    help="persistent XLA compilation cache dir (or env "
                         "RECNEXT_COMPILE_CACHE)")
     args = p.parse_args(argv)
+    if args.train and args.latency:
+        # batch1_device_ms is an inference-graph measurement; silently dropping
+        # it from --train rows misstated provenance (ADVICE r4)
+        p.error("--latency measures the fused inference graph and is not "
+                "defined for --train rows; run two sweeps")
 
     from recnext_tpu.utils.cache import enable_compile_cache
     from recnext_tpu.utils.watchdog import require_devices
@@ -74,10 +82,15 @@ def main(argv=None):
             row["stamp"] = args.stamp
         try:
             if args.train:
-                ips, used_batch = bench_mod.train_throughput(
+                # median-of-N with min/max: t-family steps are ~35 ms with ~20%
+                # run-to-run spread (PERF.md round 4), single windows mislead
+                out = bench_mod.train_throughput(
                     name, args.batch, timed_s=args.timed,
-                    image_size=args.image_size, **kw)
+                    image_size=args.image_size, repeats=args.repeats, **kw)
+                ips, used_batch = out[0], out[1]
                 row.update(train_images_per_sec=round(ips, 1), batch=used_batch)
+                if len(out) == 3:
+                    row["spread"] = out[2]
             else:
                 ips, used_batch = bench_mod.throughput(
                     name, args.batch, timed_s=args.timed,

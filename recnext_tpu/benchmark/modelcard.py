@@ -108,11 +108,16 @@ def make_mlla_card(model_name: str, measured: dict | None = None) -> str:
     n_params, macs = mlla_flops(model_name)
     extra = ""
     if measured:
+        # batch/resolution read from the measured row itself — a sweep at a
+        # non-default batch must not misstate measurement provenance (ADVICE r4)
+        size = measured.get("image_size", 256)
         if measured.get("images_per_sec"):
-            extra += (f"| TPU v5e throughput (bf16 @256, batch 256) | "
+            extra += (f"| TPU v5e throughput (bf16 @{size}, "
+                      f"batch {measured.get('batch', '?')}) | "
                       f"{measured['images_per_sec']:.0f} img/s |\n")
         if measured.get("train_images_per_sec"):
-            extra += (f"| TPU v5e train step (full recipe, batch 128) | "
+            extra += (f"| TPU v5e train step (full recipe, "
+                      f"batch {measured.get('train_batch', measured.get('batch', '?'))}) | "
                       f"{measured['train_images_per_sec']:.0f} img/s |\n")
     size = "nano" if "nano" in model_name else "mini"
     return MLLA_TEMPLATE.format(

@@ -55,16 +55,23 @@ _COSTLY = {"erf": 4, "erfc": 4, "exp": 4, "log": 4, "tanh": 4, "logistic": 4,
 
 
 def _conv_macs(eqn) -> tuple[float, bool]:
-    """(MACs, is_depthwise) for a conv_general_dilated eqn."""
+    """(MACs, is_depthwise) for a conv_general_dilated eqn.
+
+    MACs = prod(out) * prod(rhs_spatial) * cin_per_group is exact for every
+    conv form XLA emits, including the BACKWARD convs: a depthwise filter-grad
+    lowers to a batch-grouped conv (batch_group_count == channels) whose "rhs"
+    is the output cotangent. Engine: cin_per_group == 1 means each output
+    element reduces over a single input channel — no dense contraction to tile
+    onto the MXU — which covers forward depthwise convs (feature_group_count ==
+    out_ch) AND their input/filter gradients (batch-grouped per-channel
+    correlations); everything else rides the MXU."""
     out = eqn.outvars[0].aval.shape
     rhs = eqn.invars[1].aval.shape
     dn = eqn.params["dimension_numbers"]
-    fgc = eqn.params["feature_group_count"]
     kh_kw = [rhs[i] for i in dn.rhs_spec[2:]]
     cin_per_group = rhs[dn.rhs_spec[1]]
-    out_ch = rhs[dn.rhs_spec[0]]
     macs = prod(out) * prod(kh_kw) * cin_per_group
-    return float(macs), fgc == out_ch and cin_per_group == 1
+    return float(macs), cin_per_group == 1
 
 
 def _dot_macs(eqn) -> float:
@@ -173,6 +180,75 @@ def model_roofline(model_name: str, image_size: int = 0,
     }
 
 
+def train_roofline(model_name: str, image_size: int = 0,
+                   batch: int = 256) -> dict:
+    """Roofline for the FULL train step (fwd+bwd+AdamW+EMA+mixup — the program
+    bench.py's train_throughput times): trace the jitted step to a jaxpr and
+    classify every primitive like `model_roofline` does for inference. The
+    backward convs classify correctly because a depthwise filter-grad lowers to
+    a batch-grouped per-channel conv (see _conv_macs) — counting it dense would
+    overstate the MXU bound ~25x for a 5x5 dw.
+
+    Also traces the train-mode FORWARD alone so the row carries the fwd/bwd
+    engine split (bwd = step - fwd, which lumps the optimizer/EMA elementwise
+    tail — a few MB of params, negligible next to the activations)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from recnext_tpu.train.optim import cosine_schedule, make_optimizer
+    from recnext_tpu.train.state import TrainState
+    from recnext_tpu.train.step import make_train_step
+
+    if model_name.startswith("mlla"):
+        from recnext_tpu.models.mlla import create_mlla
+
+        model = create_mlla(model_name, dtype=jnp.bfloat16)
+        image_size = image_size or model.cfg.img_size
+    else:
+        from recnext_tpu.models.registry import create_model
+
+        model = create_model(model_name, dtype=jnp.bfloat16)
+        image_size = image_size or 224
+    x0 = jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)
+    variables = jax.tree.map(lambda s: np.ones(s.shape, s.dtype), shapes)
+    tx = make_optimizer(cosine_schedule(1e-3, 1000))
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, num_classes=1000, mixup=True)
+    batch_data = {"image": jnp.zeros((batch, image_size, image_size, 3),
+                                     jnp.bfloat16),
+                  "label": jnp.zeros((batch,), jnp.int32)}
+    rng = jax.random.PRNGKey(0)
+
+    tot = analyze_jaxpr(jax.make_jaxpr(step)(state, batch_data, rng))
+    fwd = analyze_jaxpr(jax.make_jaxpr(
+        lambda v, xx: model.apply(v, xx, training=True,
+                                  mutable=["batch_stats"]))(variables,
+                                                            batch_data["image"]))
+    mxu_ms = tot["mxu_macs"] / MXU_MAC_PER_S / batch * 1e3
+    vpu_ms = ((tot["vpu_macs"] + tot["vpu_elementwise_ops"])
+              / VPU_OP_PER_S / batch * 1e3)
+    g = 1e9 * batch
+    return {
+        "model": model_name,
+        "train_mxu_gmacs_per_img": round(tot["mxu_macs"] / g, 4),
+        "train_vpu_gmacs_per_img": round(tot["vpu_macs"] / g, 4),
+        "train_vpu_gops_elementwise_per_img": round(
+            tot["vpu_elementwise_ops"] / g, 4),
+        "fwd_mxu_gmacs_per_img": round(fwd["mxu_macs"] / g, 4),
+        "fwd_vpu_gmacs_per_img": round(fwd["vpu_macs"] / g, 4),
+        "bwd_over_fwd_macs": round(
+            (tot["mxu_macs"] + tot["vpu_macs"])
+            / max(fwd["mxu_macs"] + fwd["vpu_macs"], 1.0) - 1.0, 3),
+        "mxu_bound_ms": round(mxu_ms, 4),
+        "vpu_bound_ms": round(vpu_ms, 4),
+        "compute_bound_ms_per_img": round(max(mxu_ms, vpu_ms), 4),
+        "bound_engine": "mxu" if mxu_ms >= vpu_ms else "vpu",
+    }
+
+
 def main(argv=None):
     from recnext_tpu.utils.platform import honor_env_platform
 
@@ -182,6 +258,10 @@ def main(argv=None):
                    help="default: every model in --results (or the registry)")
     p.add_argument("--results", default=None,
                    help="bench_results.json — adds measured ms/img + utilization%")
+    p.add_argument("--train", action="store_true",
+                   help="roofline the full TRAIN step (fwd+bwd+opt) instead of "
+                        "the fused inference forward; --results rows then use "
+                        "train_images_per_sec (bench_all --train output)")
     p.add_argument("--image-size", type=int, default=0,
                    help="0 = the family's native resolution (224; MLLA 256)")
     p.add_argument("--out", default=None, help="write rows as JSON")
@@ -189,9 +269,10 @@ def main(argv=None):
 
     measured = {}
     if args.results:
+        key = "train_images_per_sec" if args.train else "images_per_sec"
         for r in json.loads(Path(args.results).read_text()):
-            if "images_per_sec" in r:
-                measured[r["model"]] = r["images_per_sec"]
+            if key in r:
+                measured[r["model"]] = r[key]
     names = args.models
     if not names:
         if measured:
@@ -203,7 +284,10 @@ def main(argv=None):
 
     rows = []
     for name in names:
-        row = model_roofline(name, image_size=args.image_size)
+        if args.train:
+            row = train_roofline(name, image_size=args.image_size)
+        else:
+            row = model_roofline(name, image_size=args.image_size)
         ips = measured.get(name)
         if ips:
             meas_ms = 1e3 / ips

@@ -113,6 +113,13 @@ def resize_center_crop(img: Image.Image, size: int, crop_pct: float = 224 / 256)
 
 # ---------------------------------------------------------------------------
 # RandAugment (timm 'rand-m9-mstd0.5-inc1' policy)
+#
+# Semantics hand-derived from timm auto_augment.py as of timm 0.9-1.0 (the
+# reference's requirement range; these code paths are identical across it):
+# _RAND_INCREASING_TRANSFORMS op set, uniform choice with replacement,
+# per-op apply prob 0.5, magnitude gauss(m, mstd) clamped to [0, 10], inc1
+# level->arg maps, PIL AFFINE with fill (124,116,104). Value-level oracle:
+# tests/test_randaugment_oracle.py.
 # ---------------------------------------------------------------------------
 
 _MAX_LEVEL = 10.0
@@ -144,7 +151,16 @@ def _enhance(cls):
 
 
 def _posterize(img, bits):
-    return ImageOps.posterize(img, max(1, int(bits)))
+    # timm posterize: bits_to_keep >= 8 is the identity; bits CAN reach 0 at
+    # level 10 under inc1 (4 - int(10/10*4)), which blacks the image — PIL's
+    # lut math handles 0 but some versions range-check, so do the 0-bit mask
+    # explicitly instead of clamping to 1 (which diverged from timm)
+    bits = int(bits)
+    if bits >= 8:
+        return img
+    if bits <= 0:
+        return Image.fromarray(np.zeros_like(np.asarray(img)))
+    return ImageOps.posterize(img, bits)
 
 
 def _solarize(img, thresh):
@@ -208,7 +224,11 @@ def rand_augment(
         if rng.random() > prob:
             continue
         name, fn, lvl = _RA_OPS[int(rng.integers(len(_RA_OPS)))]
-        m = float(np.clip(rng.normal(magnitude, mstd), 0, _MAX_LEVEL)) if mstd else magnitude
+        # timm AugmentOp.__call__: gaussian jitter when mstd > 0, then clamp to
+        # [0, _LEVEL_DENOM] UNCONDITIONALLY (the clamp applies to a static
+        # magnitude too)
+        m = float(rng.normal(magnitude, mstd)) if mstd else float(magnitude)
+        m = float(np.clip(m, 0.0, _MAX_LEVEL))
         img = fn(img, lvl(rng, m))
     return img
 

@@ -124,6 +124,99 @@ def _fuse(p: Dict, s: Dict | None, xp) -> Dict:
     return out
 
 
+def _id_stats(ref, xp):
+    """Identity-BN running stats shaped like the channel vector `ref`:
+    mean=0, var=1-EPS so gamma/sqrt(var+EPS) == gamma EXACTLY."""
+    z = xp.zeros_like(xp.asarray(ref, dtype=np.float32))
+    return {"mean": z, "var": z + np.float32(1.0 - EPS)}
+
+
+def _defuse(tp: Dict, fp: Dict, xp):
+    """Inverse-embed a fused param subtree into the (template-shaped) unfused
+    structure. Returns (params, batch_stats). `tp` is consulted for STRUCTURE
+    only (which keys exist), never for values/shapes, so a classifier-head
+    class-count change survives to the warm-start merge where mismatched
+    leaves are dropped (reference --finetune semantics, main.py:286-291)."""
+    keys = set(tp.keys())
+    if keys == {"head", "head_dist"} and set(fp.keys()) == {"head"}:
+        # averaged fused head -> both dual heads = the average: the fused
+        # (deployed) function is preserved exactly and finetuning re-splits them
+        lin = fp["head"]["linear"]
+        feat = xp.zeros_like(xp.asarray(lin["kernel"], np.float32)[:, 0])
+        p = {"norm": {"scale": feat + 1.0, "bias": feat},
+             "linear": {"kernel": lin["kernel"], "bias": lin["bias"]}}
+        s = {"norm": _id_stats(feat, xp)}
+        return ({"head": p, "head_dist": {k: dict(v) for k, v in p.items()}},
+                {"head": s, "head_dist": {"norm": _id_stats(feat, xp)}})
+    if keys == {"lk", "sk"} and set(fp.keys()) == {"conv"}:
+        kernel = xp.asarray(fp["conv"]["kernel"], np.float32)  # (3,3,1,C)
+        bias = xp.asarray(fp["conv"]["bias"], np.float32)
+        if isinstance(kernel, np.ndarray):
+            kernel = kernel.copy()
+            kernel[1, 1, 0] -= 1.0  # peel the identity branch back off
+        else:
+            kernel = kernel.at[1, 1, 0].add(-1.0)
+        ch = xp.zeros_like(bias)
+        p = {"lk": {"conv": {"kernel": kernel},
+                    "norm": {"scale": ch + 1.0, "bias": bias}},
+             "sk": {"conv": {"kernel": xp.zeros_like(kernel[:1, :1])},
+                    "norm": {"scale": ch + 1.0, "bias": ch}}}
+        for br in ("lk", "sk"):  # L-series ConvNorms carry a conv bias
+            if "bias" in tp[br]["conv"]:
+                p[br]["conv"]["bias"] = ch
+        s = {"lk": {"norm": _id_stats(ch, xp)}, "sk": {"norm": _id_stats(ch, xp)}}
+        return p, s
+    if "conv" in keys and "norm" in keys and set(fp.keys()) == {"conv"}:
+        bias = xp.asarray(fp["conv"]["bias"], np.float32)
+        conv = {"kernel": fp["conv"]["kernel"]}
+        if "bias" in tp["conv"]:
+            conv["bias"] = xp.zeros_like(bias)
+        p = {"conv": conv,
+             "norm": {"scale": xp.zeros_like(bias) + 1.0, "bias": bias}}
+        return p, {"norm": _id_stats(bias, xp)}
+    if "norm" in keys and "linear" in keys and set(fp.keys()) == {"linear"}:
+        lin = fp["linear"]
+        feat = xp.zeros_like(xp.asarray(lin["kernel"], np.float32)[:, 0])
+        p = {"norm": {"scale": feat + 1.0, "bias": feat},
+             "linear": {"kernel": lin["kernel"], "bias": lin["bias"]}}
+        return p, {"norm": _id_stats(feat, xp)}
+    out_p: Dict = {}
+    out_s: Dict = {}
+    for k, v in tp.items():
+        fv = fp.get(k) if isinstance(fp, dict) else None
+        if isinstance(v, dict):
+            if set(v.keys()) == {"scale", "bias"} and isinstance(fv, dict) \
+                    and set(fv.keys()) == {"scale", "shift"}:
+                # FusedAffine -> standalone BatchNorm with identity stats
+                out_p[k] = {"scale": fv["scale"], "bias": fv["shift"]}
+                out_s[k] = _id_stats(fv["scale"], xp)
+            elif isinstance(fv, dict):
+                out_p[k], sub_s = _defuse(v, fv, xp)
+                if sub_s:
+                    out_s[k] = sub_s
+            else:
+                out_p[k] = v  # missing in the fused ckpt: keep template init
+        else:
+            out_p[k] = fv if fv is not None else v
+    return out_p, out_s
+
+
+def defuse_params(fused_params: Dict[str, Any], template_variables: Dict[str, Any],
+                  xp=np) -> Dict[str, Dict]:
+    """Embed a fused parameter tree back into the UNFUSED (trainable) model:
+    every folded BatchNorm comes back as an identity BN (gamma=1, beta=fused
+    bias, mean=0, var=1-eps) so `fuse_params(defuse_params(f)) == f` exactly
+    and the unfused model computes the same function at step 0 — the warm-start
+    path for finetuning from a published deployment artifact (`*_fused.pt`,
+    /root/reference/publish.py:28-42). The template supplies structure only;
+    leaf values/shapes come from the fused tree (head-shape mismatches are
+    resolved later by the finetune merge)."""
+    tp = _plain(template_variables["params"])
+    fp = _np(fused_params) if xp is np else _plain(fused_params)
+    params, stats = _defuse(tp, fp, xp)
+    return {"params": params, "batch_stats": stats}
+
+
 def fuse_params(variables: Dict[str, Any], xp=np) -> Dict[str, Dict]:
     """{params, batch_stats} (train/eval model) -> {params} for the fused=True model.
 

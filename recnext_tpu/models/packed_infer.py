@@ -152,7 +152,8 @@ def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
                  *, group: Optional[int] = None,
                  groups: Optional[Tuple[int, ...]] = None,
                  nearest_upsample: str = "gather",
-                 mlp_mode: str = "grouped") -> jnp.ndarray:
+                 mlp_mode: str = "grouped",
+                 attn_impl: str = "headbatch") -> jnp.ndarray:
     """Fused-inference forward for the m and a families, numerically identical
     to RecNext(cfg, fused=True).apply(variables, x, training=False).
 
@@ -162,7 +163,13 @@ def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
     `mlp_mode` selects the packed 1x1 mlp formulation: 'grouped' (the shipping
     feature_group_count=g conv, bit-exact) or 'blockdiag' (one dense MXU
     contraction with exact-zero off-diagonal blocks — same products summed, but
-    a different reduction-tree shape, so exact only to fp32-reassociation)."""
+    a different reduction-tree shape, so exact only to fp32-reassociation).
+
+    `attn_impl` selects the A-family linear-attention formulation:
+    'headbatch' (the shipping per-head einsums via 6-D split/merge transposes)
+    or 'blockdiag' / 'blockdiag_fused' (one dense masked contraction computed
+    IN the NHWC layout, ops/attention.py:linear_attention_blockdiag — exact to
+    fp32-reassociation; the round-5 a-family campaign lever)."""
     assert cfg.family in ("m", "a"), \
         "packed inference implemented for the m and a families"
     assert mlp_mode in ("grouped", "blockdiag"), mlp_mode
@@ -254,8 +261,18 @@ def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
                          "bias": _tile(jnp.asarray(tm["attn"]["qk"]["conv"]["bias"], dt), g)},
                         yd, groups=2 * g)
                 qk = feature_map(qk, cfg.attn_kernel)
-                o = _packed_linear_attention(
-                    qk, yd, g, heads, c // heads, variant=2 if i >= 3 else 1)
+                if attn_impl == "headbatch" or i >= 3:
+                    # stage 3 stays qk-first (variant 2): at n<=16 tokens the
+                    # quadratic form is the measured winner and has no
+                    # blockdiag analog in channel space
+                    o = _packed_linear_attention(
+                        qk, yd, g, heads, c // heads, variant=2 if i >= 3 else 1)
+                else:
+                    from recnext_tpu.ops.attention import linear_attention_blockdiag
+
+                    o = linear_attention_blockdiag(
+                        qk, yd, heads, groups=g,
+                        fused_denom=(attn_impl == "blockdiag_fused"))
                 o = o + cv({"kernel": _tile(jnp.asarray(tm["attn"]["pe"]["conv"]["kernel"], dt), g),
                             "bias": _tile(jnp.asarray(tm["attn"]["pe"]["conv"]["bias"], dt), g)},
                            yd, padding=1, groups=g * c)

@@ -64,6 +64,73 @@ def feature_map(x: jnp.ndarray, kind: str = "elu") -> jnp.ndarray:
     raise ValueError(f"unknown feature map {kind!r}")
 
 
+def linear_attention_blockdiag(
+    qk: jnp.ndarray, v: jnp.ndarray, num_heads: int, eps: float = 1e-6,
+    groups: int = 1, fused_denom: bool = False,
+) -> jnp.ndarray:
+    """kv-first linear attention computed ENTIRELY in the NHWC channel layout:
+    the per-head einsums become one dense (C, C) contraction under a
+    block-diagonal head mask, and the head split/merge (two 6-D transposes in
+    the head-batched form, models/mixers.py:_split_qk_nhwc/_merge_heads_nhwc)
+    disappears. The masked entries are EXACT zeros computed then discarded —
+    every surviving fp32 product is the same one the head-batched form sums,
+    so the result matches to reduction-order (<=ulp) and the extra MXU work is
+    num_heads x a trivially small contraction (n<=784, C<=640 at the A-family
+    shapes). Candidate from the round-5 a-family campaign (VERDICT r4 item 1).
+
+    qk: (B, H, W, 2C) AFTER the feature map; v: (B, H, W, C).
+    `groups` g > 1 = the lane-packed layout, channels = g x [2, nh, hd]
+    (models/packed_infer.py): the q/k split is then per packed image, and the
+    head mask covers g*num_heads contiguous hd-blocks.
+
+    fused_denom: compute sum_n(k) as an extra kv COLUMN (one einsum emits both
+    the numerator operand and the normalizer) instead of the separate fp32
+    mean/einsum pair; the normalizer column stays fp32 (the 1/(q·mean k + eps)
+    term is documented bf16-unstable, /root/reference/README.md:676).
+    """
+    b, h, w, c2 = qk.shape
+    c = c2 // 2
+    n = h * w
+    nh = num_heads * groups
+    hd = c // nh
+    if groups == 1:
+        q = qk[..., :c].reshape(b, n, c)
+        k = qk[..., c:].reshape(b, n, c)
+    else:
+        qkg = qk.reshape(b, n, groups, 2, c // groups)
+        q = qkg[:, :, :, 0].reshape(b, n, c)
+        k = qkg[:, :, :, 1].reshape(b, n, c)
+    vv = v.reshape(b, n, c)
+    s = float(n) ** -0.5
+    mask = jnp.kron(jnp.eye(nh, dtype=jnp.float32),
+                    jnp.ones((hd, hd), jnp.float32))
+    if fused_denom:
+        # one kv matmul emits both operands: an extra all-ones v column makes
+        # column c of kv equal s·sum_n(k) — the normalizer's k-statistic rides
+        # the same MXU contraction instead of a separate reduction
+        ones = jnp.ones((b, n, 1), vv.dtype)
+        kv1 = jnp.einsum("bnc,bnd->bcd", k * s, jnp.concatenate([vv * s, ones], -1),
+                         preferred_element_type=jnp.float32)
+        kv = kv1[..., :c] * mask
+        k_mean = kv1[..., c] / (s * n)  # (b, c): fp32 mean_n k
+    else:
+        kv = jnp.einsum("bnc,bnd->bcd", k * s, vv * s,
+                        preferred_element_type=jnp.float32) * mask
+        k_mean = jnp.mean(k.astype(jnp.float32), axis=1)  # (b, c)
+    # q · mean(k) per head block, elementwise + per-block sum (no einsum, no
+    # head transpose); fp32 throughout (bf16 normalizer is documented unstable)
+    prod = q.astype(jnp.float32) * k_mean[:, None, :]
+    denom = prod.reshape(b, n, nh, hd).sum(-1)  # (b, n, nh)
+    num = jnp.einsum("bnc,bcd->bnd", q, kv.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    denom = jnp.repeat(denom + eps, hd, axis=-1)
+    out = (num / denom).astype(v.dtype)
+    if groups == 1:
+        return out.reshape(b, h, w, c)
+    # merge back to the packed channel order (g, nh_per_img, hd) — already is
+    return out.reshape(b, h, w, c)
+
+
 def softmax_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Scaled-dot-product baseline (the reference's `Attention` comparison class,
     /root/reference/lsnet/model/profile.py:9-17). q,k: (B,n,d); v: (B,n,dv)."""

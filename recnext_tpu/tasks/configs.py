@@ -21,7 +21,11 @@ DETECTION_CONFIGS = {
         frozen_backbone_stats=True,
         batch_size=16,
     )
-    for m in ("recnext_m3", "recnext_m4", "recnext_m5")
+    # m3-5 match the committed config files; a3-5 match the published A-series
+    # COCO table (/root/reference/README.md:358-360) with the recattn backbones
+    # the reference registers at detection/recattn.py:309-318
+    for m in ("recnext_m3", "recnext_m4", "recnext_m5",
+              "recnext_a3", "recnext_a4", "recnext_a5")
 }
 
 # ADE20K Semantic FPN, 40k iters (80k / gpu_multiples=2), AdamW 1e-4 wd 0.05,

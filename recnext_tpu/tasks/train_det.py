@@ -161,7 +161,30 @@ def evaluate_detection(dataset, predict_fn, *, batch_size: int, with_mask: bool,
     return ev.summarize()
 
 
+def apply_preset(p: argparse.ArgumentParser, preset: str) -> None:
+    """Apply a named recipe from tasks/configs.py:DETECTION_CONFIGS (the mm
+    config-file counterpart) as parser defaults; explicit CLI flags override.
+    img_scale (1333,800) maps onto this harness's square --img-size via the
+    short side (the jittable pipeline trains on fixed square crops)."""
+    from recnext_tpu.tasks.configs import DETECTION_CONFIGS
+
+    if preset not in DETECTION_CONFIGS:
+        raise SystemExit(f"unknown preset {preset!r}; "
+                         f"known: {sorted(DETECTION_CONFIGS)}")
+    c = DETECTION_CONFIGS[preset]
+    p.set_defaults(backbone=c["backbone"], lr=c["lr"],
+                   weight_decay=c["weight_decay"], epochs=c["epochs"],
+                   decay_epochs=list(c["lr_decay_epochs"]),
+                   batch_size=c["batch_size"], num_classes=c["num_classes"],
+                   img_size=min(c["img_scale"]))
+
+
 def main(argv=None):
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--preset", default="",
+                     help="named recipe from tasks/configs.py, e.g. "
+                          "det_recnext_a3_fpn_1x_coco")
+    pre_args, argv = pre.parse_known_args(argv)
     p = argparse.ArgumentParser("Detection training")
     p.add_argument("--backbone", default="recnext_m3")
     p.add_argument("--detector", default="mask_rcnn", choices=["mask_rcnn", "retinanet"])
@@ -205,6 +228,8 @@ def main(argv=None):
                         "RECNEXT_COMPILE_CACHE); preempted/restarted jobs "
                         "skip recompilation")
     p.add_argument("--output-dir", default="runs/det")
+    if pre_args.preset:
+        apply_preset(p, pre_args.preset)
     args = p.parse_args(argv)
 
     from recnext_tpu.utils.platform import honor_env_platform

@@ -65,6 +65,11 @@ def synthetic_seg_batch(rng: np.random.Generator, batch: int, crop: int,
 
 
 def main(argv=None):
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--preset", default="",
+                     help="named recipe from tasks/configs.py, e.g. "
+                          "seg_recnext_a3_fpn_ade20k_40k")
+    pre_args, argv = pre.parse_known_args(argv)
     p = argparse.ArgumentParser("Semantic FPN training")
     p.add_argument("--backbone", default="recnext_m3")
     p.add_argument("--num-classes", type=int, default=150)
@@ -93,6 +98,19 @@ def main(argv=None):
                    help="persistent XLA compilation cache dir (or env "
                         "RECNEXT_COMPILE_CACHE)")
     p.add_argument("--dtype", default="float32", choices=["bfloat16", "float32"])
+    if pre_args.preset:
+        # named recipe from tasks/configs.py (the mm config-file counterpart);
+        # explicit CLI flags still override
+        from recnext_tpu.tasks.configs import SEGMENTATION_CONFIGS
+
+        if pre_args.preset not in SEGMENTATION_CONFIGS:
+            raise SystemExit(f"unknown preset {pre_args.preset!r}; "
+                             f"known: {sorted(SEGMENTATION_CONFIGS)}")
+        c = SEGMENTATION_CONFIGS[pre_args.preset]
+        p.set_defaults(backbone=c["backbone"], lr=c["lr"],
+                       weight_decay=c["weight_decay"], iters=c["iters"],
+                       batch_size=c["batch_size"], num_classes=c["num_classes"],
+                       crop=c["crop"], eval_every=c["eval_every"])
     args = p.parse_args(argv)
 
     from recnext_tpu.utils.platform import honor_env_platform

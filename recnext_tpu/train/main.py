@@ -101,8 +101,19 @@ def parse_args(argv=None):
     p.add_argument("--mesa-start-ratio", type=float, default=0.25,
                    help="fraction of total epochs after which MESA activates "
                         "(upstream MLLA harness convention)")
+    # finetuning (reference main.py:145-148; load semantics main.py:278-294)
+    p.add_argument("--finetune", default="",
+                   help="warm-start model weights from a checkpoint (orbax dir, "
+                        ".msgpack, torch .pth raw, or published *_fused.pt); "
+                        "shape-mismatched head leaves are dropped — the 384² "
+                        "finetune + CIFAR/FLOWERS/iNat transfer entry")
+    p.add_argument("--set-bn-eval", action="store_true",
+                   help="freeze BatchNorm during finetuning (running stats in "
+                        "the forward, no stat updates) — reference --set_bn_eval")
     # data
-    p.add_argument("--data-set", default="IMNET", choices=["IMNET", "CIFAR", "FOLDER", "FAKE"])
+    p.add_argument("--data-set", default="IMNET",
+                   choices=["IMNET", "CIFAR", "FOLDER", "FAKE",
+                            "IMNETEE", "FLOWERS", "INAT", "INAT19"])
     p.add_argument("--data-path", default="")
     p.add_argument("--native-loader", action="store_true",
                    help="C++ fused decode+RandomResizedCrop+flip train path and "
@@ -266,11 +277,26 @@ def main(argv=None):
 
         model = create_model(args.model, num_classes=nb_classes,
                              distillation=distill, dtype=dtype,
+                             frozen_stats=args.set_bn_eval,
                              **parse_kv_overrides(args.model_kwargs))
+    if args.set_bn_eval and args.model.startswith(("regnet", "mlla")):
+        raise SystemExit("--set-bn-eval is a RecNext-family finetune knob")
     x0 = jnp.zeros((1, args.input_size, args.input_size, 3), dtype)
     # jit the init: un-jitted init over the remote-TPU tunnel is thousands of ~2ms
     # dispatches (minutes); one compiled program instead (PERF.md)
     variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0)
+    if args.finetune:
+        # weights-only warm start; optimizer/schedule/epoch start fresh
+        # (reference --finetune, main.py:278-294 — vs --resume's full restore)
+        from recnext_tpu.models.registry import get_config as _get_cfg
+        from recnext_tpu.train.finetune import load_pretrained
+
+        fam = ("m" if args.model.startswith(("regnet", "mlla"))
+               else _get_cfg(args.model).family)
+        variables = jax.tree.map(
+            jnp.asarray,
+            load_pretrained(args.finetune, jax.device_get(variables),
+                            family=fam, log=log))
     n_parameters = sum(int(p.size) for p in jax.tree.leaves(variables["params"]))
     log(f"model {args.model}: {n_parameters/1e6:.2f}M params, {nb_classes} classes")
 

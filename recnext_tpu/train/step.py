@@ -114,16 +114,28 @@ def make_train_step(
 
         mesa_targets = mesa_w = None
         if mesa > 0:
-            # the EMA teacher: inference-mode forward over the EMA weights, lax-
-            # gated by step (weight 0 before mesa_start_step) so both training
-            # phases share ONE compiled program. stop_gradient'd like the
+            # the EMA teacher: inference-mode forward over the EMA weights,
+            # inside a lax.cond on step so both training phases share ONE
+            # compiled program but the teacher forward EXECUTES only once
+            # active (XLA conditionals run the taken branch only; a
+            # multiplied-by-zero loss term cannot be dead-coded because the
+            # weight is data-dependent — the pre-MESA ~25% of training used to
+            # pay the full teacher cost, ADVICE r4). stop_gradient'd like the
             # reference teacher path.
-            ema_logits = model.apply(
-                {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
-                x, training=False)
-            mesa_targets = jax.lax.stop_gradient(
-                jax.nn.softmax(ema_logits.astype(jnp.float32), axis=-1))
-            mesa_w = mesa * (state.step >= mesa_start_step).astype(jnp.float32)
+            active = state.step >= mesa_start_step
+
+            def ema_softmax(operand):
+                xb, ema_params, ema_stats = operand
+                ema_logits = model.apply(
+                    {"params": ema_params, "batch_stats": ema_stats},
+                    xb, training=False)
+                return jax.nn.softmax(ema_logits.astype(jnp.float32), axis=-1)
+
+            mesa_targets = jax.lax.stop_gradient(jax.lax.cond(
+                active, ema_softmax,
+                lambda operand: jnp.zeros((x.shape[0], num_classes), jnp.float32),
+                (x, state.ema_params, state.ema_batch_stats)))
+            mesa_w = mesa * active.astype(jnp.float32)
 
         rngs = {"droppath": r_drop, "dropout": r_dropout}
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

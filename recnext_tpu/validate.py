@@ -34,7 +34,9 @@ def parse_args(argv=None):
                    help="with --fused on an m/a-family model: run the lane-packed "
                         "executor (numerically exact, measured faster; PERF.md)")
     p.add_argument("--ema", action="store_true", help="evaluate the EMA weights")
-    p.add_argument("--data-set", default="IMNET", choices=["IMNET", "CIFAR", "FOLDER", "FAKE"])
+    p.add_argument("--data-set", default="IMNET",
+                   choices=["IMNET", "CIFAR", "FOLDER", "FAKE",
+                            "IMNETEE", "FLOWERS", "INAT", "INAT19"])
     p.add_argument("--data-path", default="")
     p.add_argument("--input-size", type=int, default=224)
     p.add_argument("--crop-pct", type=float, default=224 / 256)

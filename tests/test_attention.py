@@ -58,3 +58,40 @@ def test_la3_shaped_v(rng):
     b = np.asarray(linear_attention_qk_first(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
     assert a.shape == v.shape
     np.testing.assert_allclose(a, b, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("c,heads,g,fused_denom", [
+    (160, 8, 1, False), (160, 8, 1, True), (320, 8, 2, False),
+    (320, 8, 2, True), (80, 4, 1, False),
+])
+def test_blockdiag_matches_headbatch(c, heads, g, fused_denom, rng):
+    """linear_attention_blockdiag (NHWC-layout masked-dense form, the round-5
+    a-family lever) vs the shipping head-batched kv-first path: same real fp32
+    products, so equal to reduction order."""
+    from recnext_tpu.models.mixers import (
+        _merge_heads_nhwc,
+        _split_qk_nhwc,
+        _split_v_nhwc,
+    )
+    from recnext_tpu.models.packed_infer import _packed_linear_attention
+    from recnext_tpu.ops.attention import (
+        feature_map,
+        linear_attention_blockdiag,
+        linear_attention_kv_first,
+    )
+
+    b, h, w = 3, 7, 7
+    qk = feature_map(jnp.asarray(rng.standard_normal((b, h, w, 2 * c)),
+                                 jnp.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    if g == 1:
+        q, k = _split_qk_nhwc(qk, heads, c // heads)
+        vh = _split_v_nhwc(v, heads)
+        ref = _merge_heads_nhwc(linear_attention_kv_first(q, k, vh), b, h, w, c)
+    else:
+        ref = _packed_linear_attention(qk, v, g, heads, (c // g) // heads,
+                                       variant=1)
+    got = linear_attention_blockdiag(qk, v, heads, groups=g,
+                                     fused_denom=fused_denom)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)

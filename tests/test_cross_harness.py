@@ -122,3 +122,54 @@ def test_reference_harness_scores_our_export_identically(tmp_path):
     # the packed executor is exact vs the fused model, so it must agree too
     assert ours_packed["top1"] == ours_fused["top1"]
     assert ours_packed["top5"] == ours_fused["top5"]
+
+
+def test_torchvision_stub_arithmetic_pins():
+    """Pin the torchvision-stub resize/crop math with hand-computed values
+    quoting the torchvision source it mirrors (ADVICE r4: the cross-harness
+    guarantee is only as strong as this stub; re-run against real torchvision
+    whenever an environment has it)."""
+    import numpy as np
+    from PIL import Image
+
+    from tests.torch_ref import _install_torchvision_stub
+
+    _install_torchvision_stub()
+    import sys
+
+    tfm = sys.modules["torchvision.transforms"]
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (333, 500, 3), np.uint8))  # w=500 h=333
+
+    # torchvision/transforms/functional.py::_compute_resized_output_size:
+    #   short -> size, long -> int(size * long / short)  [int-TRUNCATION]
+    # 500x333 @ size=236: long = int(236 * 500 / 333) = int(354.35...) = 354
+    out = tfm.Resize(236, interpolation=3)(img)
+    assert out.size == (354, 236)
+
+    # F.resize same-size short-circuit: "if [h, w] == output_size: return img"
+    # (a same-size bicubic resample is NOT the identity; object identity pins it)
+    small = Image.fromarray(rng.integers(0, 255, (300, 236, 3), np.uint8))
+    assert tfm.Resize(236, interpolation=3)(small) is small
+
+    # tuple size is exact, no aspect preservation
+    assert tfm.Resize((224, 224), interpolation=3)(img).size == (224, 224)
+
+    # torchvision/transforms/functional.py::center_crop:
+    #   crop_top  = int(round((image_height - crop_height) / 2.0))
+    #   crop_left = int(round((image_width  - crop_width)  / 2.0))
+    # 235x233 @ 224: left = int(round(11/2)) = int(round(5.5)) = 6 (banker's),
+    #                top  = int(round(9/2))  = int(round(4.5)) = 4 (banker's)
+    odd = Image.fromarray(rng.integers(0, 255, (233, 235, 3), np.uint8))
+    ref = odd.crop((6, 4, 6 + 224, 4 + 224))
+    got = tfm.CenterCrop(224)(odd)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # ToTensor: CHW float division by 255 (functional.py::to_tensor)
+    t = tfm.ToTensor()(odd)
+    assert t.shape == (3, 233, 235) and abs(float(t.max()) - np.asarray(odd).max() / 255.0) < 1e-7
+
+    # Normalize: (x - mean) / std, per-channel
+    n = tfm.Normalize([0.5, 0.5, 0.5], [0.25, 0.25, 0.25])(t)
+    np.testing.assert_allclose(n.numpy(), (t.numpy() - 0.5) / 0.25, rtol=1e-6)

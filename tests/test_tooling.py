@@ -156,9 +156,14 @@ def test_compile_cache_populates(tmp_path):
     try:
         assert enable_compile_cache(None) is None  # no-op without a path
         d = tmp_path / "xla_cache"
-        assert enable_compile_cache(str(d)) == str(d)
+        # the actual cache lives under a per-machine-microarch subdir so a
+        # foreign host's XLA:CPU AOT code is never replayed (SIGILL risk,
+        # MULTICHIP_r04 tail; utils/cache.py:machine_key)
+        from recnext_tpu.utils.cache import machine_key
+
+        assert enable_compile_cache(str(d)) == str(d / machine_key())
         jax.jit(lambda x: x * 2 + 1)(jnp.ones((64, 64)))
-        assert any(d.iterdir()), "cache dir stayed empty"
+        assert any((d / machine_key()).iterdir()), "cache dir stayed empty"
     finally:
         for k, v in saved.items():
             jax.config.update(k, v)

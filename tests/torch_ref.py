@@ -146,11 +146,19 @@ def _install_torchvision_stub():
             if isinstance(self.size, (tuple, list)):
                 oh, ow = self.size
             else:
+                # torchvision _compute_resized_output_size (functional.py):
+                #   new_short = size; new_long = int(size * long / short)
+                # (int-TRUNCATION, not round)
                 w, h = img.size
                 if w <= h:
                     ow, oh = self.size, int(self.size * h / w)
                 else:
                     oh, ow = self.size, int(self.size * w / h)
+            if (ow, oh) == img.size:
+                # torchvision F.resize: "if [image_height, image_width] ==
+                # output_size: return img" — a same-size bicubic PIL resample
+                # is NOT the identity, so this short-circuit is load-bearing
+                return img
             return img.resize((ow, oh), self.interpolation)
 
     class CenterCrop:
