@@ -15,9 +15,9 @@ for m in recnext_a0 recnext_a1 recnext_a2; do
 done
 
 # 2. Op-level breakdown inside the packed A block, a0 + a2, all stages
-timeout 2400 python -m recnext_tpu.benchmark.attn_breakdown --model recnext_a0 \
+timeout 3600 python -m recnext_tpu.benchmark.attn_breakdown --model recnext_a0 \
   --stages 0 1 2 3 --batch 256 --out attn_breakdown_a0_r5.json
-timeout 2400 python -m recnext_tpu.benchmark.attn_breakdown --model recnext_a2 \
+timeout 3600 python -m recnext_tpu.benchmark.attn_breakdown --model recnext_a2 \
   --stages 0 1 2 3 --batch 256 --out attn_breakdown_a2_r5.json
 
 # 3. Batch-occupancy scan (VERDICT r4 item 2): priority variants first,
