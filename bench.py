@@ -52,7 +52,7 @@ def _is_vmem_compile_error(e: Exception) -> bool:
 def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
                warmup_s: float = 5.0, timed_s: float = 10.0,
                auto_split: bool = True, packed: bool = True,
-               image_size: int = 224, attn_impl: str = "headbatch",
+               image_size: int = 224, attn_impl: str = "blockdiag",
                **model_kwargs):
     """Returns (images_per_sec, batch_used). If XLA's compile trips the scoped-VMEM
     cliff at the requested batch (the known recnext_a* @512 Mosaic bug, PERF.md),
@@ -311,10 +311,11 @@ def main():
     p.add_argument("--upsample", default="matmul", choices=["gather", "matmul"])
     p.add_argument("--no-packed", action="store_true",
                    help="disable the lane-packed m/a-family executor")
-    p.add_argument("--attn-impl", default="headbatch",
+    p.add_argument("--attn-impl", default="blockdiag",
                    choices=["headbatch", "blockdiag", "blockdiag_fused"],
                    help="A-family linear-attention formulation in the packed "
-                        "executor (round-5 campaign lever)")
+                        "executor (blockdiag = shipping default since round 5, "
+                        "+7-18%% on a0-a2; headbatch = pre-round-5 A/B form)")
     p.add_argument("--compile-cache", default="",
                    help="persistent XLA compilation cache dir (or env "
                         "RECNEXT_COMPILE_CACHE); warm restarts skip the "

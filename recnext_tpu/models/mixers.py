@@ -111,12 +111,20 @@ class LinearAttention(nn.Module):
     variant: int = 1
     use_bias: bool = False  # ConvNorm conv bias (True on the L series)
     kernel: str = "elu"  # feature map: elu | softplus | relu (lsnet refinement)
+    # variant-1 formulation: "blockdiag" computes the kv-first attention entirely
+    # in the NHWC channel layout (one masked dense (C,C) contraction, no 6-D head
+    # split/merge transposes — ops/attention.py:linear_attention_blockdiag);
+    # measured +7-18% end-to-end on a0-a2 (PERF.md round 5). "headbatch" keeps the
+    # per-head-einsum form as the A/B option. Equal to fp32 reduction order.
+    # Variants 2 (qk-first, tiny-n stages) and 3 (rectangular head blocks) have no
+    # channel-space blockdiag analog and always run head-batched.
+    attn_impl: str = "blockdiag"
     fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
-        from recnext_tpu.ops.attention import feature_map
+        from recnext_tpu.ops.attention import feature_map, linear_attention_blockdiag
 
         b, h, w, c = x.shape
         kw = dict(use_bias=self.use_bias, fused=self.fused, dtype=self.dtype)
@@ -131,6 +139,11 @@ class LinearAttention(nn.Module):
         pe_conv = ConvNorm(c, 3, padding=1, groups=c, name="pe", **kw)
 
         qk = feature_map(qk_conv(x, training=training), self.kernel)
+        if self.variant == 1 and self.attn_impl in ("blockdiag", "blockdiag_fused"):
+            o = linear_attention_blockdiag(
+                qk, x, num_heads, fused_denom=(self.attn_impl == "blockdiag_fused")
+            )
+            return o + pe_conv(x, training=training)
         q, k = _split_qk_nhwc(qk, num_heads, head_dim)
         v = _split_v_nhwc(x, num_heads)
         if self.variant == 1:
@@ -150,6 +163,7 @@ class RecAttn2d(nn.Module):
     la_variant: int = 1
     use_bias: bool = False
     kernel: str = "elu"  # feature map: elu | softplus | relu (lsnet refinement)
+    attn_impl: str = "blockdiag"  # variant-1 formulation (see LinearAttention)
     mode: str = "nearest"
     fused: bool = False
     dtype: Dtype = jnp.float32
@@ -164,7 +178,7 @@ class RecAttn2d(nn.Module):
         )
         y = LinearAttention(
             self.num_heads, variant=self.la_variant, kernel=self.kernel,
-            name="attn", **kw
+            attn_impl=self.attn_impl, name="attn", **kw
         )(y, training=training)
         y = resize(y, (x.shape[1], x.shape[2]), mode=self.mode)
         return ConvNorm(c, k, padding=k // 2, groups=c, name="conv", **kw)(

@@ -153,7 +153,7 @@ def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
                  groups: Optional[Tuple[int, ...]] = None,
                  nearest_upsample: str = "gather",
                  mlp_mode: str = "grouped",
-                 attn_impl: str = "headbatch") -> jnp.ndarray:
+                 attn_impl: str = "blockdiag") -> jnp.ndarray:
     """Fused-inference forward for the m and a families, numerically identical
     to RecNext(cfg, fused=True).apply(variables, x, training=False).
 
@@ -166,10 +166,14 @@ def packed_apply(variables: Dict, cfg: RecNextConfig, x: jnp.ndarray,
     a different reduction-tree shape, so exact only to fp32-reassociation).
 
     `attn_impl` selects the A-family linear-attention formulation:
-    'headbatch' (the shipping per-head einsums via 6-D split/merge transposes)
-    or 'blockdiag' / 'blockdiag_fused' (one dense masked contraction computed
-    IN the NHWC layout, ops/attention.py:linear_attention_blockdiag — exact to
-    fp32-reassociation; the round-5 a-family campaign lever)."""
+    'blockdiag' (the shipping default since round 5: one dense masked
+    contraction computed IN the NHWC layout,
+    ops/attention.py:linear_attention_blockdiag — measured +7-18% on a0-a2,
+    exact to fp32-reassociation; also the model's variant-1 default, so g=1
+    stages stay bit-identical to the fused model forward) or 'headbatch'
+    (per-head einsums via 6-D split/merge transposes, the pre-round-5 A/B
+    form) or 'blockdiag_fused' (normalizer column riding the kv matmul —
+    measured NEGATIVE, kept for A/B)."""
     assert cfg.family in ("m", "a"), \
         "packed inference implemented for the m and a families"
     assert mlp_mode in ("grouped", "blockdiag"), mlp_mode

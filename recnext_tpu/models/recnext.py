@@ -77,6 +77,11 @@ class RecNextConfig:
     # linear-attention feature map: elu | softplus | relu (the lsnet "Promising
     # refinement" kernel ablation, /root/reference/lsnet/README.md)
     attn_kernel: str = "elu"
+    # variant-1 linear-attention formulation: "blockdiag" (NHWC masked-dense,
+    # no head split/merge transposes; +7-18% on a0-a2, PERF.md round 5) or
+    # "headbatch" (per-head einsums, the pre-round-5 form). Equal to fp32
+    # reduction order; variant-2/3 stages always run head-batched.
+    attn_impl: str = "blockdiag"
 
     @property
     def num_features(self) -> int:
@@ -165,6 +170,7 @@ class MetaNeXtBlockA(nn.Module):
     stage: int
     drop_path: float = 0.0
     attn_kernel: str = "elu"
+    attn_impl: str = "blockdiag"
     fused: bool = False
     dtype: Dtype = jnp.float32
 
@@ -175,6 +181,7 @@ class MetaNeXtBlockA(nn.Module):
             num_heads=2 ** (self.stage + 1),
             la_variant=2 if self.stage >= 3 else 1,
             kernel=self.attn_kernel,
+            attn_impl=self.attn_impl,
             fused=self.fused,
             dtype=self.dtype,
             name="token_mixer",
@@ -204,6 +211,7 @@ class MetaNeXtBlockL(nn.Module):
     la3_from_stage: int = 3
     share: str = "off"  # off | collect | share
     attn_kernel: str = "elu"
+    attn_impl: str = "blockdiag"
     fused: bool = False
     dtype: Dtype = jnp.float32
 
@@ -211,8 +219,8 @@ class MetaNeXtBlockL(nn.Module):
     def __call__(self, x: jnp.ndarray, training: bool = False,
                  x1s: Optional[list] = None) -> jnp.ndarray:
         c = x.shape[-1]
-        kw = dict(use_bias=True, kernel=self.attn_kernel, fused=self.fused,
-                  dtype=self.dtype)
+        kw = dict(use_bias=True, kernel=self.attn_kernel,
+                  attn_impl=self.attn_impl, fused=self.fused, dtype=self.dtype)
         x = RepVGGDW(fused=self.fused, dtype=self.dtype, name="rep_mixer")(
             x, training=training
         )
@@ -389,6 +397,7 @@ class RecNext(nn.Module):
                 elif cfg.family == "a":
                     blocks.append(MetaNeXtBlockA(ratio, stage=i, drop_path=rates[i][j],
                                                  attn_kernel=cfg.attn_kernel,
+                                                 attn_impl=cfg.attn_impl,
                                                  fused=self.fused, dtype=self.dtype,
                                                  name=name))
                 else:
@@ -410,7 +419,7 @@ class RecNext(nn.Module):
                                        split_rate=cfg.split_rates[i],
                                        drop_path=rates[i][j], la3_from_stage=la3_from,
                                        share=share, attn_kernel=cfg.attn_kernel,
-                                       fused=self.fused,
+                                       attn_impl=cfg.attn_impl, fused=self.fused,
                                        dtype=self.dtype, name=name)
                     )
             stage_blocks.append(blocks)
