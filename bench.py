@@ -66,6 +66,10 @@ def throughput(model_name: str, batch: int, *, dtype=jnp.bfloat16,
 
     cfg = get_config(model_name, **{k: v for k, v in model_kwargs.items()
                                     if k != "dtype"})
+    if cfg.family == "a":
+        # keep the unpacked (--no-packed) model forward on the same attention
+        # formulation as the packed executor's attn_impl argument
+        model_kwargs.setdefault("attn_impl", attn_impl)
     fused = create_model(model_name, fused=True, dtype=dtype, **model_kwargs)
     fvars = jax.device_put(_bench_variables(model_name, dtype, image_size,
                                             **model_kwargs))
@@ -340,6 +344,10 @@ def main():
     kw = {}
     if args.model.startswith("recnext_m"):
         kw["recconv_upsample"] = args.upsample
+    elif args.model.startswith("recnext_a"):
+        # --latency / --train run the MODEL forward (not the packed executor);
+        # attn_impl is a config field there, so the A/B lever reaches both paths
+        kw["attn_impl"] = args.attn_impl
     size = args.image_size
     if args.latency:
         dev_ms = device_latency_ms(args.model, iters=args.latency_iters,
@@ -371,7 +379,9 @@ def main():
         return
     ips, used_batch = throughput(args.model, args.batch, warmup_s=args.warmup,
                                  timed_s=args.timed, packed=not args.no_packed,
-                                 image_size=size, attn_impl=args.attn_impl, **kw)
+                                 image_size=size, attn_impl=args.attn_impl,
+                                 **{k: v for k, v in kw.items()
+                                    if k != "attn_impl"})
     base = BASELINES.get(args.model) if size == 224 else None
     rec = {
         "metric": f"{args.model}_fused_bf16_{size}_images_per_sec",

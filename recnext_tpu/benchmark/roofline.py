@@ -223,10 +223,13 @@ def train_roofline(model_name: str, image_size: int = 0,
     rng = jax.random.PRNGKey(0)
 
     tot = analyze_jaxpr(jax.make_jaxpr(step)(state, batch_data, rng))
+    # the fwd-alone trace needs the same rng streams the train step wires in
+    # (droppath/dropout fire for variants with drop_path > 0, e.g. m4/m5/a4/a5)
     fwd = analyze_jaxpr(jax.make_jaxpr(
-        lambda v, xx: model.apply(v, xx, training=True,
-                                  mutable=["batch_stats"]))(variables,
-                                                            batch_data["image"]))
+        lambda v, xx, r: model.apply(
+            v, xx, training=True, mutable=["batch_stats"],
+            rngs={"droppath": r, "dropout": r}))(
+        variables, batch_data["image"], rng))
     mxu_ms = tot["mxu_macs"] / MXU_MAC_PER_S / batch * 1e3
     vpu_ms = ((tot["vpu_macs"] + tot["vpu_elementwise_ops"])
               / VPU_OP_PER_S / batch * 1e3)

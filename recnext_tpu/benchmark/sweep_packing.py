@@ -58,6 +58,11 @@ def main(argv=None):
                    help="packed 1x1-mlp formulation: grouped conv (bit-exact, "
                         "shipping) or block-diagonal dense (one MXU contraction; "
                         "reopens the stage-0/1 packing frontier — PERF.md)")
+    p.add_argument("--attn-impl", default="blockdiag",
+                   choices=["headbatch", "blockdiag", "blockdiag_fused"],
+                   help="A-family attention formulation (blockdiag packs g>1 "
+                        "with no head transposes — the round-2/3 policy was "
+                        "measured under headbatch; re-sweep before trusting it)")
     args = p.parse_args(argv)
 
     import bench as bench_mod
@@ -80,7 +85,8 @@ def main(argv=None):
         groups = tuple(int(v) for v in gs.split(","))
         try:
             ips = measure(lambda v, x: packed_apply(v, cfg, x, groups=groups,
-                                                    mlp_mode=args.mlp_mode),
+                                                    mlp_mode=args.mlp_mode,
+                                                    attn_impl=args.attn_impl),
                           fvars, args.batch, dtype, args.timed)
         except Exception as e:
             print(json.dumps({"model": args.model, "groups": groups,
@@ -88,7 +94,7 @@ def main(argv=None):
             continue
         results.append((groups, ips))
         print(json.dumps({"model": args.model, "groups": groups,
-                          "mlp_mode": args.mlp_mode,
+                          "mlp_mode": args.mlp_mode, "attn_impl": args.attn_impl,
                           "images_per_sec": round(ips, 1)}), flush=True)
     if results:
         base = next((r for g, r in results if g == (1, 1, 1, 1)), None)

@@ -62,11 +62,15 @@ MEASURED_GROUPS: Dict[str, Tuple[int, ...]] = {
     "recnext_m2": (1, 1, 1, 2),   # 6782 -> 6904
     "recnext_m4": (1, 1, 1, 1),   # round-3 sweep: every packing loses (best g: -0.4%)
     "recnext_m5": (1, 1, 2, 1),   # 1982 -> 2277
-    "recnext_a0": (1, 1, 1, 2),   # 10687 -> 10825
-    "recnext_a1": (1, 1, 2, 1),   # 7651 -> 7919
-    "recnext_a2": (1, 1, 1, 2),   # 5115 -> 5433
-    "recnext_a4": (1, 1, 2, 1),   # 3146 -> 3657 (round-3 sweep, +16.3%)
-    "recnext_a5": (1, 4, 2, 1),   # 1078 -> 1818
+    # a-family entries re-earned under the round-5 blockdiag attention default
+    # (sweep_a*_blockdiag_r5.log): a0 gained a stage-1 pack, a3 (never swept in
+    # rounds 2-3) gained its first entry, a1/a2/a4/a5 round-3 winners held.
+    "recnext_a0": (1, 2, 1, 2),   # 12740 -> 13086 (round-3 (1,1,1,2): 12887)
+    "recnext_a1": (1, 1, 2, 1),   # 7955 -> 8499
+    "recnext_a2": (1, 1, 1, 2),   # 5868 -> 6314
+    "recnext_a3": (1, 1, 2, 1),   # 5586 -> 6031
+    "recnext_a4": (1, 1, 2, 1),   # 3304 -> 3611
+    "recnext_a5": (1, 4, 2, 1),   # 1097 -> 1824
 }
 
 
