@@ -210,3 +210,26 @@ def test_prefetcher_propagates_worker_errors():
     assert next(it) == {"image": 1}
     with pytest.raises(RuntimeError, match="input pipeline worker failed"):
         next(it)
+
+
+def test_browse_contact_sheet(tmp_path):
+    """Headless browse_dataset counterpart (data/browse.py — the reference's
+    segmentation/tools/browse_dataset.py save-to-dir role): renders an
+    augmentation contact sheet, de-normalization must invert normalize()."""
+    from recnext_tpu.data.browse import denormalize, main
+
+    # denormalize is the exact inverse of transforms.normalize on uint8 inputs
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    assert np.array_equal(denormalize(normalize(img)), img)
+
+    out = tmp_path / "sheet.png"
+    sheet = main(["--data-set", "FAKE", "--input-size", "32", "--rows", "3",
+                  "--draws", "4", "--out", str(out)])
+    assert out.exists()
+    # 3 rows x (orig + eval + 4 draws) of 32px tiles + 2px padding
+    assert sheet.size == (6 * 34 + 2, 3 * 34 + 2)
+    # augmented tiles differ across draws (the chain is actually stochastic)
+    arr = np.asarray(sheet)
+    tiles = [arr[2:34, 2 + c * 34:34 + c * 34] for c in range(2, 6)]
+    assert any(not np.array_equal(tiles[0], t) for t in tiles[1:])
