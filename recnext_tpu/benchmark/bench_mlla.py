@@ -18,7 +18,7 @@ import time
 
 
 def throughput(name: str, batch: int, *, timed_s: float = 6.0,
-               image_size: int = 0) -> float:
+               image_size: int = 0, attn_impl: str = "headbatch") -> float:
     import numpy as np
 
     import jax
@@ -27,7 +27,7 @@ def throughput(name: str, batch: int, *, timed_s: float = 6.0,
     from recnext_tpu.models.mlla import create_mlla
 
     dtype = jnp.bfloat16
-    model = create_mlla(name, dtype=dtype)
+    model = create_mlla(name, dtype=dtype, attn_impl=attn_impl)
     # MLLA is a 256-input family (MLLAConfig.img_size; the recattn grafts
     # require EVEN stage sizes — 224 ends stage 3 at 7x7 and the stride-2
     # attention's x2 nearest upsample cannot add back to it, in the reference
@@ -63,7 +63,8 @@ def throughput(name: str, batch: int, *, timed_s: float = 6.0,
 
 
 def train_throughput(name: str, batch: int, *, timed_s: float = 6.0,
-                     image_size: int = 0, mesa: float = 0.0) -> float:
+                     image_size: int = 0, mesa: float = 0.0,
+                     attn_impl: str = "headbatch") -> float:
     """Full MLLA-recipe train step on one chip: fwd+bwd+AdamW(norm clip 5.0)+
     EMA+mixup, optionally with the MESA EMA-teacher forward active (mesa > 0 =
     the recipe's second phase, AUG.MESA 1.0 — adds an inference forward over
@@ -79,7 +80,7 @@ def train_throughput(name: str, batch: int, *, timed_s: float = 6.0,
     from recnext_tpu.train.step import make_train_step
 
     dtype = jnp.bfloat16
-    model = create_mlla(name, dtype=dtype)
+    model = create_mlla(name, dtype=dtype, attn_impl=attn_impl)
     image_size = image_size or model.cfg.img_size
     x0 = jnp.zeros((1, image_size, image_size, 3), dtype)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x0)
@@ -129,6 +130,11 @@ def main(argv=None):
                    help="0 = the config's native img_size (256)")
     p.add_argument("--train", action="store_true",
                    help="full train-step throughput instead of inference")
+    p.add_argument("--attn-impl", default="headbatch",
+                   choices=["headbatch", "blockdiag"],
+                   help="linear-attention formulation for the recattn "
+                        "variants (blockdiag = channel-layout masked-dense, "
+                        "the recnext a-family round-5 winner)")
     p.add_argument("--mesa", type=float, default=0.0,
                    help="with --train: MESA weight (the recipe's active phase "
                         "adds an EMA-teacher forward per step)")
@@ -139,12 +145,15 @@ def main(argv=None):
     for name in args.models:
         if args.train:
             ips = train_throughput(name, args.batch, timed_s=args.timed,
-                                   image_size=args.image_size, mesa=args.mesa)
+                                   image_size=args.image_size, mesa=args.mesa,
+                                   attn_impl=args.attn_impl)
         else:
             ips = throughput(name, args.batch, timed_s=args.timed,
-                             image_size=args.image_size)
+                             image_size=args.image_size,
+                             attn_impl=args.attn_impl)
         row = {"model": name, "batch": args.batch,
                "image_size": args.image_size or 256,
+               "attn_impl": args.attn_impl,
                "images_per_sec": round(ips, 1)}
         if args.train:
             row["mode"] = "train" if args.mesa == 0 else f"train+mesa{args.mesa}"

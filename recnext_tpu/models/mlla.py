@@ -24,7 +24,11 @@ import numpy as np
 from flax import linen as nn
 
 from recnext_tpu.models.layers import BatchNorm, Conv2d, DropPath, gelu
-from recnext_tpu.ops.attention import linear_attention_kv_first
+from recnext_tpu.ops.attention import (
+    linear_attention_blockdiag,
+    linear_attention_blockdiag_rope,
+    linear_attention_kv_first,
+)
 from recnext_tpu.ops.recconv import rec_conv2d
 from recnext_tpu.ops.resize import resize
 
@@ -43,6 +47,11 @@ class MLLAConfig:
     drop_path: float = 0.0
     num_classes: int = 1000
     img_size: int = 256
+    # linear-attention formulation: "headbatch" (per-head einsums, the round-4
+    # shipping form) or "blockdiag" (channel-layout head-masked dense
+    # contraction, the recnext a-family round-5 winner — measured for MLLA in
+    # PERF.md before any default change)
+    attn_impl: str = "headbatch"
 
 
 class ConvLayer(nn.Module):
@@ -114,6 +123,7 @@ class MLLALinearAttention(nn.Module):
     num_heads: int
     rope: bool = False
     qkv_bias: bool = True
+    attn_impl: str = "headbatch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -128,6 +138,20 @@ class MLLALinearAttention(nn.Module):
         pe_name = "lepe" if self.rope else "pe"
         pe = Conv2d(c, 3, padding=1, groups=c, use_bias=self.qkv_bias if self.rope else True,
                     dtype=self.dtype, name=pe_name)(x)
+
+        if self.attn_impl == "blockdiag":
+            # channel-layout formulation: no head split/merge transposes
+            # (ops/attention.py; reduction-order-equal to the head-batched path)
+            if self.rope:
+                cos, sin = rope_rotations(h, w, c)
+                o = linear_attention_blockdiag_rope(
+                    q.reshape(b, n, c), k.reshape(b, n, c),
+                    apply_rope(q, cos, sin).reshape(b, n, c),
+                    apply_rope(k, cos, sin).reshape(b, n, c),
+                    x.reshape(b, n, c), nh).reshape(b, h, w, c)
+            else:
+                o = linear_attention_blockdiag(qk, x, nh)
+            return o + pe
 
         def heads(t):  # (B,H,W,C) -> (B*nh, n, hd), channel-major head split
             return jnp.transpose(t.reshape(b, n, nh, hd), (0, 2, 1, 3)).reshape(b * nh, n, hd)
@@ -179,6 +203,7 @@ class MLLARecAttnAgg(nn.Module):
 
     num_heads: int
     rope: bool = False
+    attn_impl: str = "headbatch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -186,7 +211,8 @@ class MLLARecAttnAgg(nn.Module):
         c = x.shape[-1]
         y = Conv2d(c, 5, stride=2, padding=2, groups=c, use_bias=True,
                    dtype=self.dtype, name="down")(x)
-        y = MLLALinearAttention(self.num_heads, rope=self.rope, dtype=self.dtype,
+        y = MLLALinearAttention(self.num_heads, rope=self.rope,
+                                attn_impl=self.attn_impl, dtype=self.dtype,
                                 name="attn")(y)
         y = resize(y, (y.shape[1] * 2, y.shape[2] * 2), mode="nearest")
         return Conv2d(c, 5, padding=2, groups=c, use_bias=True, dtype=self.dtype,
@@ -203,6 +229,7 @@ class MLLABlock(nn.Module):
     expansion_ratio: float = 2.5
     drop_path: float = 0.0
     downsample: bool = False
+    attn_impl: str = "headbatch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -231,11 +258,11 @@ class MLLABlock(nn.Module):
         elif self.variant == "recattn":
             g = nn.silu(g)
             agg = MLLARecAttnAgg(self.num_heads, rope=True, dtype=self.dtype,
-                                 name="agg")(cfeat)
+                                 attn_impl=self.attn_impl, name="agg")(cfeat)
         else:
             g = nn.silu(g)
             agg = MLLARecAttnAgg(self.num_heads, rope=False, dtype=self.dtype,
-                                 name="agg")(cfeat)
+                                 attn_impl=self.attn_impl, name="agg")(cfeat)
         o = Conv2d(dim, 1, use_bias=True, dtype=self.dtype, name="o_proj")(g * agg)
         x = x + DropPath(self.drop_path, name="dp1")(o, training=training)
 
@@ -264,7 +291,7 @@ class MLLA(nn.Module):
             idx += depth
             common = dict(variant=cfg.variant, num_heads=cfg.num_heads[i],
                           mlp_ratio=cfg.mlp_ratio, expansion_ratio=cfg.expansion_ratio,
-                          dtype=self.dtype)
+                          attn_impl=cfg.attn_impl, dtype=self.dtype)
             for j in range(depth):
                 x = MLLABlock(level=4 - i, drop_path=float(rates[j]),
                               name=f"layer{i}_block{j}", **common)(x, training=training)

@@ -131,6 +131,35 @@ def linear_attention_blockdiag(
     return out.reshape(b, h, w, c)
 
 
+def linear_attention_blockdiag_rope(
+    q: jnp.ndarray, k: jnp.ndarray, q_r: jnp.ndarray, k_r: jnp.ndarray,
+    v: jnp.ndarray, num_heads: int, eps: float = 1e-6,
+) -> jnp.ndarray:
+    """MLLA rope form of the channel-layout blockdiag linear attention
+    (mlla_recattn.py:49-79 semantics: the RoPE-rotated q,k enter the NUMERATOR
+    only; the denominator uses the un-rotated pair). Same head-masked dense
+    (C,C) kv-first reduction as linear_attention_blockdiag — the head
+    split/merge transposes disappear; masked entries are exact zeros so the
+    result is reduction-order-equal to the head-batched form.
+
+    All inputs (B, n, C); q_r/k_r arrive fp32 from apply_rope, and the whole
+    rope attention stays fp32 to match the head-batched path's dtypes."""
+    b, n, c = q.shape
+    nh, hd = num_heads, c // num_heads
+    s = float(n) ** -0.5
+    mask = jnp.kron(jnp.eye(nh, dtype=jnp.float32),
+                    jnp.ones((hd, hd), jnp.float32))
+    kv = jnp.einsum("bnc,bnd->bcd", k_r * s, v.astype(jnp.float32) * s,
+                    preferred_element_type=jnp.float32) * mask
+    num = jnp.einsum("bnc,bcd->bnd", q_r, kv,
+                     preferred_element_type=jnp.float32)
+    k_mean = jnp.mean(k.astype(jnp.float32), axis=1)  # (b, c)
+    prod = q.astype(jnp.float32) * k_mean[:, None, :]
+    denom = prod.reshape(b, n, nh, hd).sum(-1) + eps  # (b, n, nh)
+    out = num / jnp.repeat(denom, hd, axis=-1)
+    return out.astype(v.dtype)
+
+
 def softmax_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Scaled-dot-product baseline (the reference's `Attention` comparison class,
     /root/reference/lsnet/model/profile.py:9-17). q,k: (B,n,d); v: (B,n,dv)."""

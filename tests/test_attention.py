@@ -95,3 +95,43 @@ def test_blockdiag_matches_headbatch(c, heads, g, fused_denom, rng):
                                      fused_denom=fused_denom)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("c,heads", [(64, 4), (128, 8)])
+def test_blockdiag_rope_matches_headbatch(c, heads, rng):
+    """linear_attention_blockdiag_rope vs the MLLA head-batched rope path
+    (models/mlla.py MLLALinearAttention rope=True): rotated q,k in the
+    numerator, un-rotated in the denominator — same fp32 products, equal to
+    reduction order."""
+    from recnext_tpu.models.mlla import apply_rope, rope_rotations
+    from recnext_tpu.ops.attention import linear_attention_blockdiag_rope
+
+    b, h, w = 2, 8, 8
+    n, hd = h * w, c // heads
+    q = jnp.asarray(np.exp(rng.standard_normal((b, h, w, c)) * 0.3), jnp.float32)
+    k = jnp.asarray(np.exp(rng.standard_normal((b, h, w, c)) * 0.3), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    cos, sin = rope_rotations(h, w, c)
+    q_r, k_r = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+
+    def heads_split(t):
+        return jnp.transpose(t.reshape(b, n, heads, hd),
+                             (0, 2, 1, 3)).reshape(b * heads, n, hd)
+
+    s = float(n) ** -0.5
+    vh = heads_split(v)
+    kv = jnp.einsum("bnd,bne->bde", heads_split(k_r) * s,
+                    vh.astype(jnp.float32) * s)
+    num = jnp.einsum("bnd,bde->bne", heads_split(q_r), kv)
+    k_mean = jnp.mean(heads_split(k).astype(jnp.float32), axis=-2)
+    denom = jnp.einsum("bnd,bd->bn", heads_split(q).astype(jnp.float32),
+                       k_mean) + 1e-6
+    ref_h = num / denom[..., None]
+    ref = jnp.transpose(ref_h.reshape(b, heads, n, hd),
+                        (0, 2, 1, 3)).reshape(b, n, c)
+
+    got = linear_attention_blockdiag_rope(
+        q.reshape(b, n, c), k.reshape(b, n, c), q_r.reshape(b, n, c),
+        k_r.reshape(b, n, c), v.reshape(b, n, c), heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)

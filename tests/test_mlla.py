@@ -51,3 +51,24 @@ def test_mlla_parity_eval(variant):
         y_t = tm(x_t).numpy()
     y_j = np.asarray(fm.apply(variables, jnp.asarray(to_nhwc(x_t))))
     np.testing.assert_allclose(y_j, y_t, atol=3e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["recattn", "recattn_simple"])
+def test_mlla_blockdiag_matches_headbatch(variant):
+    """attn_impl='blockdiag' (channel-layout masked-dense LA, the round-5
+    formulation) must reproduce the shipping head-batched MLLA forward with
+    the SAME parameters — reassociation-bounded, no param change."""
+    import dataclasses
+
+    import jax
+
+    cfg = _small_cfg(variant)
+    m_head = MLLA(cfg=dataclasses.replace(cfg, attn_impl="headbatch"))
+    m_blk = MLLA(cfg=dataclasses.replace(cfg, attn_impl="blockdiag"))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, cfg.img_size, cfg.img_size, 3)),
+                    jnp.float32)
+    variables = m_head.init(jax.random.PRNGKey(0), x)
+    y_h = np.asarray(m_head.apply(variables, x))
+    y_b = np.asarray(m_blk.apply(variables, x))
+    np.testing.assert_allclose(y_b, y_h, rtol=2e-4, atol=2e-5)

@@ -498,17 +498,18 @@ def test_bench_mlla_native_size_default(monkeypatch, capsys):
 
     seen = []
 
-    def fake_throughput(name, batch, *, timed_s, image_size):
-        seen.append((name, batch, image_size))
+    def fake_throughput(name, batch, *, timed_s, image_size, attn_impl):
+        seen.append((name, batch, image_size, attn_impl))
         return 1234.5
 
     monkeypatch.setattr(bench_mlla, "throughput", fake_throughput)
     monkeypatch.setattr("recnext_tpu.utils.watchdog.require_devices",
                         lambda **k: None)
     rows = bench_mlla.main(["--models", "mlla_nano_recconv", "--batch", "8"])
-    assert seen == [("mlla_nano_recconv", 8, 0)]
+    assert seen == [("mlla_nano_recconv", 8, 0, "headbatch")]
     assert rows == [{"model": "mlla_nano_recconv", "batch": 8,
-                     "image_size": 256, "images_per_sec": 1234.5}]
+                     "image_size": 256, "attn_impl": "headbatch",
+                     "images_per_sec": 1234.5}]
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(out)["model"] == "mlla_nano_recconv"
 
@@ -516,7 +517,7 @@ def test_bench_mlla_native_size_default(monkeypatch, capsys):
     # MESA-active flavor of the MLLA recipe)
     train_seen = []
 
-    def fake_train(name, batch, *, timed_s, image_size, mesa):
+    def fake_train(name, batch, *, timed_s, image_size, mesa, attn_impl):
         train_seen.append((name, mesa))
         return 99.0
 
